@@ -1,0 +1,159 @@
+"""Config tree — TPU-native replacement for the reference's opts.lua + config.lua.
+
+The reference (SURVEY.md §2.1 "Options"/"Path config", unverified — empty mount)
+used torch.CmdLine flags for hyperparameters and a Lua table of dataset paths.
+Here: one frozen dataclass tree, named presets mirroring BASELINE.json's five
+configs, argparse overrides in cli/, and a JSON dump into the checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture knobs (MultiPath paper §3; Fast R-CNN §2)."""
+
+    backbone: str = "vgg16"  # vgg16 | resnet18 | resnet50 | alexnet
+    num_classes: int = 81  # 80 COCO categories + background (index 0)
+    # Foveal context scales (MultiPath §3.1). () => plain Fast R-CNN head.
+    foveal_scales: Tuple[float, ...] = (1.0, 1.5, 2.0, 4.0)
+    # Backbone stages to ROI-pool for skip connections (MultiPath §3.2).
+    # ("c5",) => plain Fast R-CNN single-level pooling.
+    skip_levels: Tuple[str, ...] = ("c3", "c4", "c5")
+    skip_reduce_dim: int = 512  # 1x1-conv channel reduction after skip concat
+    # Integral-loss classifier heads: fg IoU thresholds (MultiPath §3.3).
+    # A single (0.5,) => vanilla Fast R-CNN classification loss.
+    integral_thresholds: Tuple[float, ...] = (0.50, 0.55, 0.60, 0.65, 0.70, 0.75)
+    roi_output_size: int = 7  # ROI pooling output bins (Fast R-CNN: 7x7)
+    roi_samples_per_bin: int = 2  # bilinear samples per bin axis (roi_align)
+    fc_dim: int = 4096  # FC6/FC7 width (VGG-16 heads)
+    dtype: str = "bfloat16"  # trunk compute dtype; heads/losses stay f32
+    # bbox regression target normalization (Fast R-CNN §2.3 / BBoxNorm.lua)
+    bbox_reg_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    bbox_reg_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    class_specific_bbox: bool = True  # 4*num_classes regression outputs
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data layer (SURVEY.md §2.1 loaders + BatchProviderROI)."""
+
+    dataset: str = "synthetic"  # synthetic | coco
+    root: str = ""  # dataset root (images + annotations)
+    annotations: str = ""  # path to instances_*.json
+    proposals: str = ""  # path to proposals .npz
+    image_size: Tuple[int, int] = (640, 640)  # fixed canvas HxW (static shapes)
+    max_proposals: int = 1000  # P: proposal padding size
+    # Fast R-CNN sampling (paper §2.3): per-image ROI minibatch
+    rois_per_image: int = 64
+    fg_fraction: float = 0.25
+    fg_iou_threshold: float = 0.5
+    bg_iou_range: Tuple[float, float] = (0.1, 0.5)
+    max_gt_per_image: int = 100  # GT padding size
+    hflip_prob: float = 0.5
+    prefetch: int = 2  # host->device prefetch depth
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 8  # global images per step (split over the data mesh axis)
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    lr_decay_steps: Tuple[int, ...] = (240_000,)  # step LR decay boundaries
+    lr_decay_factor: float = 0.1
+    total_steps: int = 320_000
+    warmup_steps: int = 500
+    checkpoint_every: int = 1000
+    log_every: int = 20
+    seed: int = 0
+    checkpoint_dir: str = "/tmp/mpnet_ckpt"
+    grad_clip_norm: float = 0.0  # 0 => off
+    freeze_backbone_stages: int = 2  # NoBackprop analog: freeze c1..cN
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    score_threshold: float = 0.05
+    nms_iou_threshold: float = 0.5
+    pre_nms_per_class: int = 256  # top-k per class before NMS
+    max_detections: int = 100  # COCO protocol: <=100 det/img
+    roi_chunk: int = 512  # SequentialSplitBatch analog: ROI chunking at test time
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data_axis: int = -1  # -1 => all devices on the data axis
+    model_axis: int = 1  # reserved; >1 enables tensor sharding of FC heads
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    name: str = "default"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _replace(cfg: Config, path: str, **kw: Any) -> Config:
+    sub = dataclasses.replace(getattr(cfg, path), **kw)
+    return dataclasses.replace(cfg, **{path: sub})
+
+
+def preset(name: str) -> Config:
+    """Named presets mirroring BASELINE.json's five configs."""
+    c = Config(name=name)
+    if name == "fastrcnn_vgg16_single":
+        # config 1: Fast R-CNN VGG-16, single image, precomputed proposals
+        c = _replace(c, "model", foveal_scales=(1.0,), skip_levels=("c5",),
+                     integral_thresholds=(0.5,))
+        c = _replace(c, "train", batch_size=1)
+    elif name == "multipath_vgg16_b1":
+        # config 2: MultiPath VGG-16 foveal+skip, batch-1 inference
+        c = _replace(c, "train", batch_size=1)
+    elif name == "multipath_vgg16_batched":
+        # config 3: batched inference 8 imgs x 1000 proposals, fused kernels
+        c = _replace(c, "train", batch_size=8)
+    elif name == "multipath_vgg16_train":
+        # config 4: integral-loss fine-tuning, data-parallel over the TPU mesh
+        pass
+    elif name == "sharpmask_multipath_e2e":
+        # config 5: SharpMask proposal generation -> MultiPath detection, ResNet
+        c = _replace(c, "model", backbone="resnet50")
+    elif name == "tiny":
+        # test-sized preset: everything shrunk so CPU tests run in seconds
+        c = _replace(c, "model", backbone="tinynet", fc_dim=64, skip_reduce_dim=32,
+                     num_classes=5)
+        c = _replace(c, "data", image_size=(64, 64), max_proposals=32,
+                     rois_per_image=16, max_gt_per_image=8)
+        c = _replace(c, "train", batch_size=2, total_steps=20,
+                     checkpoint_every=10, warmup_steps=0)
+        c = _replace(c, "eval", pre_nms_per_class=16, max_detections=10,
+                     roi_chunk=32)
+    elif name != "default":
+        raise KeyError(f"unknown preset: {name!r} (have {sorted(PRESETS)})")
+    return c
+
+
+PRESETS = (
+    "default",
+    "tiny",
+    "fastrcnn_vgg16_single",
+    "multipath_vgg16_b1",
+    "multipath_vgg16_batched",
+    "multipath_vgg16_train",
+    "sharpmask_multipath_e2e",
+)

@@ -1,0 +1,23 @@
+"""Test env: force CPU backend with 8 virtual devices BEFORE jax import.
+
+SURVEY.md §4: multi-device semantics are tested on a virtual CPU mesh
+(xla_force_host_platform_device_count=8) since only one real TPU chip exists.
+"""
+
+import os
+
+# NOTE: the axon PJRT plugin overrides the JAX_PLATFORMS env var on this image;
+# the runtime config.update below is what actually pins tests to CPU (verified
+# 2026-08-16: env var alone leaves default_backend=tpu and every op pays a
+# tunnel round-trip).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
