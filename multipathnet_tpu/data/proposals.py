@@ -1,0 +1,57 @@
+"""Precomputed-proposal storage.
+
+The reference consumes DeepMask/SharpMask proposals from `.t7` tensor files
+keyed by image (SURVEY.md §2.1 "Batch provider", §3.1). TPU-native equivalent:
+a single `.npz` with flat arrays + offsets (O(1) mmap-friendly load, no
+per-image pickles):
+
+  boxes   (N, 4) f32  x1y1x2y2 image coordinates
+  scores  (N,)   f32  proposal objectness
+  offsets (I+1,) i64  image i owns rows [offsets[i], offsets[i+1])
+  image_ids (I,) i64  COCO image ids, aligned with the loader's order
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ProposalStore:
+    def __init__(self, boxes, scores, offsets, image_ids):
+        self.boxes = np.asarray(boxes, np.float32)
+        self.scores = np.asarray(scores, np.float32)
+        self.offsets = np.asarray(offsets, np.int64)
+        self.image_ids = np.asarray(image_ids, np.int64)
+        self._by_id = {int(v): i for i, v in enumerate(self.image_ids)}
+
+    @classmethod
+    def load(cls, path: str) -> "ProposalStore":
+        z = np.load(path)
+        return cls(z["boxes"], z["scores"], z["offsets"], z["image_ids"])
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, boxes=self.boxes, scores=self.scores,
+            offsets=self.offsets, image_ids=self.image_ids,
+        )
+
+    def __len__(self) -> int:
+        return len(self.image_ids)
+
+    def for_index(self, i: int):
+        s, e = int(self.offsets[i]), int(self.offsets[i + 1])
+        return self.boxes[s:e], self.scores[s:e]
+
+    def for_image_id(self, image_id: int):
+        return self.for_index(self._by_id[int(image_id)])
+
+    @classmethod
+    def from_lists(cls, per_image_boxes, per_image_scores, image_ids):
+        offsets = np.zeros(len(image_ids) + 1, np.int64)
+        for i, b in enumerate(per_image_boxes):
+            offsets[i + 1] = offsets[i] + len(b)
+        boxes = (np.concatenate(per_image_boxes, 0)
+                 if len(per_image_boxes) else np.zeros((0, 4), np.float32))
+        scores = (np.concatenate(per_image_scores, 0)
+                  if len(per_image_scores) else np.zeros((0,), np.float32))
+        return cls(boxes, scores, offsets, image_ids)

@@ -1,0 +1,149 @@
+"""Synthetic COCO-format fixture generator.
+
+With no network, no COCO data, and no pretrained weights (SURVEY.md §6
+"Practical consequence"), correctness is demonstrated on (a) op-level oracles
+and (b) synthetic datasets with analytically known structure. This module
+generates a tiny but fully COCO-shaped dataset on disk — instances JSON +
+PNG images + a proposal .npz — so every layer above (loader, batch provider,
+detector, evaluator) runs the exact production code path.
+
+Scenes: solid background, `num_objects` axis-aligned shapes per image, one
+shape type per category (rectangle / ellipse / cross / stripes-square), each
+with a distinct color family => trivially learnable, and GT is exact.
+Proposals mimic DeepMask output: jittered GT boxes + uniform random boxes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from multipathnet_tpu.data.proposals import ProposalStore
+
+CATEGORY_NAMES = ("rect", "ellipse", "cross", "stripes")
+# distinct color per category (R, G, B)
+_COLORS = np.array(
+    [[220, 60, 60], [60, 200, 80], [70, 90, 220], [230, 200, 50]], np.uint8
+)
+
+
+def _draw(img: np.ndarray, cls: int, x1, y1, x2, y2) -> None:
+    h, w, _ = img.shape
+    x1i, y1i = int(round(x1)), int(round(y1))
+    x2i, y2i = int(round(x2)), int(round(y2))
+    color = _COLORS[cls % len(_COLORS)]
+    if cls % 4 == 0:  # rect
+        img[y1i:y2i, x1i:x2i] = color
+    elif cls % 4 == 1:  # ellipse
+        yy, xx = np.mgrid[y1i:y2i, x1i:x2i]
+        cy, cx = (y1i + y2i) / 2, (x1i + x2i) / 2
+        ry, rx = max((y2i - y1i) / 2, 1), max((x2i - x1i) / 2, 1)
+        m = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        img[y1i:y2i, x1i:x2i][m] = color
+    elif cls % 4 == 2:  # cross
+        mx, my = (x1i + x2i) // 2, (y1i + y2i) // 2
+        tw = max((x2i - x1i) // 4, 1)
+        th = max((y2i - y1i) // 4, 1)
+        img[y1i:y2i, mx - tw // 2 : mx + tw // 2 + 1] = color
+        img[my - th // 2 : my + th // 2 + 1, x1i:x2i] = color
+    else:  # stripes
+        patch = img[y1i:y2i, x1i:x2i]
+        patch[::2] = color
+        img[y1i:y2i, x1i:x2i] = patch
+
+
+def generate(
+    root: str,
+    *,
+    num_images: int = 16,
+    image_size: int = 64,
+    num_classes: int = 4,
+    max_objects: int = 4,
+    proposals_per_image: int = 32,
+    jitter: float = 0.1,
+    seed: int = 0,
+    split: str = "synthetic",
+) -> dict:
+    """Write images/, annotations/instances_<split>.json, proposals_<split>.npz.
+
+    Returns paths dict. Deterministic for a given seed.
+    """
+    rng = np.random.default_rng(seed)
+    s = image_size
+    img_dir = os.path.join(root, split)
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    images, annotations = [], []
+    prop_boxes, prop_scores, image_ids = [], [], []
+    ann_id = 1
+    from PIL import Image
+
+    for i in range(num_images):
+        img_id = 1000 + i
+        img = np.full((s, s, 3), 16, np.uint8)
+        img += rng.integers(0, 8, (s, s, 3), dtype=np.uint8)  # light noise
+        n_obj = int(rng.integers(1, max_objects + 1))
+        gt = []
+        for _ in range(n_obj):
+            cls = int(rng.integers(0, num_classes))
+            bw = rng.uniform(0.15 * s, 0.45 * s)
+            bh = rng.uniform(0.15 * s, 0.45 * s)
+            x1 = rng.uniform(0, s - bw - 1)
+            y1 = rng.uniform(0, s - bh - 1)
+            _draw(img, cls, x1, y1, x1 + bw, y1 + bh)
+            gt.append((cls, x1, y1, bw, bh))
+            annotations.append({
+                "id": ann_id,
+                "image_id": img_id,
+                "category_id": cls + 1,
+                "bbox": [float(x1), float(y1), float(bw), float(bh)],
+                "area": float(bw * bh),
+                "iscrowd": 0,
+            })
+            ann_id += 1
+        fname = f"{split}_{img_id}.png"
+        Image.fromarray(img).save(os.path.join(img_dir, fname))
+        images.append({"id": img_id, "file_name": fname,
+                       "height": s, "width": s})
+
+        # proposals: jittered GT (guaranteed fg pool) + random boxes
+        pb, ps = [], []
+        for cls, x1, y1, bw, bh in gt:
+            for _ in range(max(proposals_per_image // (2 * n_obj), 2)):
+                dx, dy = rng.normal(0, jitter * bw), rng.normal(0, jitter * bh)
+                dw = bw * np.exp(rng.normal(0, jitter))
+                dh = bh * np.exp(rng.normal(0, jitter))
+                nx1 = np.clip(x1 + dx, 0, s - 2)
+                ny1 = np.clip(y1 + dy, 0, s - 2)
+                pb.append([nx1, ny1, min(nx1 + dw, s - 1), min(ny1 + dh, s - 1)])
+                ps.append(rng.uniform(0.5, 1.0))
+        while len(pb) < proposals_per_image:
+            bw = rng.uniform(0.1 * s, 0.5 * s)
+            bh = rng.uniform(0.1 * s, 0.5 * s)
+            x1 = rng.uniform(0, s - bw - 1)
+            y1 = rng.uniform(0, s - bh - 1)
+            pb.append([x1, y1, x1 + bw, y1 + bh])
+            ps.append(rng.uniform(0.0, 0.6))
+        prop_boxes.append(np.asarray(pb[:proposals_per_image], np.float32))
+        prop_scores.append(np.asarray(ps[:proposals_per_image], np.float32))
+        image_ids.append(img_id)
+
+    ann_path = os.path.join(ann_dir, f"instances_{split}.json")
+    with open(ann_path, "w") as f:
+        json.dump({
+            "images": images,
+            "annotations": annotations,
+            "categories": [
+                {"id": c + 1, "name": CATEGORY_NAMES[c % len(CATEGORY_NAMES)]}
+                for c in range(num_classes)
+            ],
+        }, f)
+
+    prop_path = os.path.join(root, f"proposals_{split}.npz")
+    ProposalStore.from_lists(prop_boxes, prop_scores, image_ids).save(prop_path)
+    return {"root": root, "annotations": ann_path, "images": img_dir,
+            "proposals": prop_path, "split": split}

@@ -1,0 +1,92 @@
+"""Data layer tests: synthetic fixture -> CocoLoader -> ProposalStore."""
+
+import numpy as np
+import pytest
+
+from multipathnet_tpu.data import synthetic
+from multipathnet_tpu.data.coco import CocoLoader, ConcatLoader, NarrowLoader
+from multipathnet_tpu.data.proposals import ProposalStore
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return synthetic.generate(str(root), num_images=6, image_size=48,
+                              num_classes=3, proposals_per_image=16, seed=1)
+
+
+def test_loader_basic(fixture):
+    ld = CocoLoader(fixture["annotations"], fixture["images"])
+    assert len(ld) == 6
+    assert ld.num_classes == 4  # 3 fg + background
+    h, w = ld.image_size(0)
+    assert (h, w) == (48, 48)
+    img = ld.load_image(0)
+    assert img.shape == (48, 48, 3) and img.dtype == np.uint8
+    ann = ld.annotations(0)
+    g = len(ann["classes"])
+    assert 1 <= g <= 4
+    assert ann["boxes"].shape == (g, 4)
+    assert np.all(ann["classes"] >= 1) and np.all(ann["classes"] <= 3)
+    assert np.all(ann["boxes"][:, 2] > ann["boxes"][:, 0])
+
+
+def test_loader_category_mapping(fixture):
+    ld = CocoLoader(fixture["annotations"], fixture["images"])
+    assert ld.cat_to_label == {1: 1, 2: 2, 3: 3}
+    assert ld.label_to_cat[2] == 2
+
+
+def test_narrow_and_concat(fixture):
+    ld = CocoLoader(fixture["annotations"], fixture["images"])
+    nl = NarrowLoader(ld, 2, 3)
+    assert len(nl) == 3
+    assert nl.image_id(0) == ld.image_id(2)
+    assert nl.num_classes == ld.num_classes  # metadata delegation
+    cl = ConcatLoader([NarrowLoader(ld, 0, 2), NarrowLoader(ld, 2, 4)])
+    assert len(cl) == 6
+    for i in range(6):
+        assert cl.image_id(i) == ld.image_id(i)
+    np.testing.assert_array_equal(cl.annotations(5)["boxes"],
+                                  ld.annotations(5)["boxes"])
+
+
+def test_proposal_store_roundtrip(fixture, tmp_path):
+    ps = ProposalStore.load(fixture["proposals"])
+    assert len(ps) == 6
+    b, s = ps.for_index(3)
+    assert b.shape == (16, 4) and s.shape == (16,)
+    ld = CocoLoader(fixture["annotations"], fixture["images"])
+    b2, _ = ps.for_image_id(ld.image_id(3))
+    np.testing.assert_array_equal(b, b2)
+    p = tmp_path / "p.npz"
+    ps.save(str(p))
+    ps2 = ProposalStore.load(str(p))
+    np.testing.assert_array_equal(ps.boxes, ps2.boxes)
+    np.testing.assert_array_equal(ps.offsets, ps2.offsets)
+
+
+def test_proposals_cover_gt(fixture):
+    """Jittered-GT proposals must contain a high-IoU box for every GT
+    (guarantees the fg sampling pool is non-empty)."""
+    from multipathnet_tpu.eval.coco_eval import box_iou_xywh
+
+    ld = CocoLoader(fixture["annotations"], fixture["images"])
+    ps = ProposalStore.load(fixture["proposals"])
+    for i in range(len(ld)):
+        ann = ld.annotations(i)
+        props, _ = ps.for_index(i)
+        gt_xywh = ann["boxes"].copy()
+        gt_xywh[:, 2:] -= gt_xywh[:, :2]
+        pr_xywh = props.copy()
+        pr_xywh[:, 2:] -= pr_xywh[:, :2]
+        iou = box_iou_xywh(pr_xywh.astype(float), gt_xywh.astype(float),
+                           np.zeros(len(gt_xywh), bool))
+        assert iou.max(axis=0).min() > 0.5, f"image {i}: uncovered GT"
+
+
+def test_generator_deterministic(tmp_path):
+    a = synthetic.generate(str(tmp_path / "a"), num_images=2, seed=7)
+    b = synthetic.generate(str(tmp_path / "b"), num_images=2, seed=7)
+    pa, pb = ProposalStore.load(a["proposals"]), ProposalStore.load(b["proposals"])
+    np.testing.assert_array_equal(pa.boxes, pb.boxes)
