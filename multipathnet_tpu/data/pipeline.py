@@ -1,0 +1,99 @@
+"""Host data pipeline: loader + proposals -> fixed-shape device batches.
+
+The reference fed GPUs from a pool of `threads` donkeys doing JPEG decode +
+sampling (SURVEY.md §2.1 "Threaded data loader", §2.3 host-parallelism row).
+Here the host does only the irreducible host work — file decode and padding to
+static shapes — on a single prefetch thread; *everything else* (resize,
+normalize, flip, IoU matching, fg/bg sampling) runs inside the jitted train
+step on device (train/loop.py). A deeper thread pool can be added if decode
+ever bottlenecks; profile first.
+
+All batches have identical shapes => the train step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from multipathnet_tpu.core.config import DataConfig
+from multipathnet_tpu.core.padding import pad_axis_to, pad_to
+from multipathnet_tpu.data.proposals import ProposalStore
+from multipathnet_tpu.train.loop import Batch
+
+
+class DetectionPipeline:
+    def __init__(self, loader, proposals: ProposalStore, cfg: DataConfig,
+                 batch_size: int, seed: int = 0,
+                 raw_hw: Optional[tuple] = None):
+        self.loader = loader
+        self.proposals = proposals
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.seed = seed
+        if raw_hw is None:
+            hs, ws = zip(*(loader.image_size(i) for i in range(len(loader))))
+            raw_hw = (max(hs), max(ws))
+        self.raw_hw = raw_hw
+
+    def __len__(self) -> int:
+        return len(self.loader) // self.batch_size
+
+    def _make_example(self, i: int):
+        cfg = self.cfg
+        img = self.loader.load_image(i)
+        h, w = img.shape[:2]
+        img = pad_axis_to(pad_axis_to(img, self.raw_hw[0], 0),
+                          self.raw_hw[1], 1)
+        props, _ = self.proposals.for_image_id(self.loader.image_id(i))
+        props, pmask = pad_to(props.astype(np.float32), cfg.max_proposals)
+        ann = self.loader.annotations(i)
+        keep = ~ann["iscrowd"]  # crowds are not sampling targets
+        gtb, gmask = pad_to(ann["boxes"][keep].astype(np.float32),
+                            cfg.max_gt_per_image)
+        gtc = pad_axis_to(ann["classes"][keep].astype(np.int32),
+                          cfg.max_gt_per_image)
+        return img, np.array([h, w], np.float32), props, pmask, gtb, gtc, gmask
+
+    def _assemble(self, idxs) -> Batch:
+        cols = list(zip(*(self._make_example(int(i)) for i in idxs)))
+        stack = [np.stack(c) for c in cols]
+        return Batch(*stack)
+
+    def epoch(self, epoch_idx: int) -> Iterator[Batch]:
+        """Deterministic shuffled epoch with background prefetch."""
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = rng.permutation(len(self.loader))
+        n = len(self)
+        q: queue.Queue = queue.Queue(maxsize=max(self.cfg.prefetch, 1))
+        stop = object()
+
+        def worker():
+            try:
+                for bi in range(n):
+                    idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                    q.put(self._assemble(idxs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def eval_batches(self, batch_size: Optional[int] = None) -> Iterator[tuple]:
+        """Sequential (no shuffle/aug) batches for the tester: yields
+        (image_indices, Batch). The last partial batch is padded by repeating
+        the final example; consumers slice by len(indices)."""
+        bs = batch_size or self.batch_size
+        n = len(self.loader)
+        for s in range(0, n, bs):
+            idxs = list(range(s, min(s + bs, n)))
+            pad = idxs + [idxs[-1]] * (bs - len(idxs))
+            yield idxs, self._assemble(pad)

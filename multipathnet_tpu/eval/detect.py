@@ -1,0 +1,122 @@
+"""On-device detection path: (image, proposals) -> final boxes/scores/classes.
+
+Rebuilds ImageDetect.lua + the test-time pieces of utils.lua (SURVEY.md §2.1,
+§3.2 call stack) with the boundary moved per the north star: the reference
+uploaded the image, downloaded raw scores, and did NMS on host; here
+proposals -> final detections is ONE jitted graph (resize/normalize, trunk,
+chunked ROI heads, integral-softmax averaging, delta decode, class-aware NMS)
+and only the final fixed-size detection set leaves the device.
+
+Reference analogies:
+  - SequentialSplitBatch (ROI chunking ~512)  -> lax.map over static chunks
+  - 6-softmax averaging at test time [H]      -> probs.mean over the K axis
+  - BBoxNorm denorm + ConvertFrom decode      -> ops.boxes.decode(means, stds)
+  - per-class threshold + NMS + keep<=100     -> ops.nms.multiclass_nms
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from multipathnet_tpu.core.config import Config
+from multipathnet_tpu.data import transforms
+from multipathnet_tpu.models.multipath import MultiPathNet
+from multipathnet_tpu.ops import boxes as box_ops
+from multipathnet_tpu.ops import nms as nms_ops
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def detect_batch(params, model: MultiPathNet, cfg: Config,
+                 images_u8: jnp.ndarray,   # (B, H0, W0, 3) uint8, padded raw
+                 src_hws: jnp.ndarray,     # (B, 2) valid (h, w) per image
+                 proposals: jnp.ndarray,   # (B, P, 4) original image coords
+                 prop_mask: jnp.ndarray):  # (B, P) bool
+    """Jittable batched detection. Returns dict of (B, D, ...) arrays in
+    ORIGINAL image coordinates."""
+    canvas_hw = cfg.data.image_size
+    b, p = proposals.shape[:2]
+
+    canvases, scales = transforms.batch_resize_to_canvas(
+        images_u8, canvas_hw, src_hws)
+    rois = proposals * scales[:, None, None]
+
+    feats = model.apply(params, canvases, method=MultiPathNet.features)
+
+    chunk = min(cfg.eval.roi_chunk, p)
+    p_pad = _round_up(p, chunk)
+    rois_p = jnp.pad(rois, ((0, 0), (0, p_pad - p), (0, 0)))
+    n_chunks = p_pad // chunk
+
+    def head_chunk(rois_c):  # (B, chunk, 4) -> scores, deltas
+        pooled = model.apply(params, feats, rois_c, canvas_hw,
+                             method=MultiPathNet.pool_rois)
+        return model.apply(params, pooled, method=MultiPathNet.predict_rois)
+
+    chunks = rois_p.reshape(b, n_chunks, chunk, 4).transpose(1, 0, 2, 3)
+    scores_c, deltas_c = lax.map(head_chunk, chunks)
+    # (n_chunks, B, chunk, K, C) -> (B, P, K, C)
+    k = scores_c.shape[3]
+    scores = scores_c.transpose(1, 0, 2, 3, 4).reshape(b, p_pad, k, -1)[:, :p]
+    deltas = deltas_c.transpose(1, 0, 2, 3).reshape(b, p_pad, -1)[:, :p]
+
+    # integral heads: average the K softmaxes (MultiPath §3.3 test protocol)
+    probs = jax.nn.softmax(scores, axis=-1).mean(axis=2)  # (B, P, C)
+    num_classes = probs.shape[-1]
+
+    # decode class-specific deltas against each proposal
+    m = cfg.model
+    if m.class_specific_bbox:
+        d = deltas.reshape(b, p, num_classes, 4)
+    else:
+        d = jnp.broadcast_to(deltas[:, :, None, :], (b, p, num_classes, 4))
+    boxes = box_ops.decode(rois[:, :, None, :], d,
+                           means=m.bbox_reg_means, stds=m.bbox_reg_stds)
+    # clip to each image's scaled valid extent, then back to original coords
+    lim = src_hws.astype(jnp.float32) * scales[:, None]  # (B, 2) = (h, w)*s
+    boxes = jnp.minimum(
+        jnp.maximum(boxes, 0.0),
+        jnp.stack([lim[:, 1], lim[:, 0], lim[:, 1], lim[:, 0]], -1)[
+            :, None, None, :],
+    )
+    boxes = boxes / scales[:, None, None, None]
+
+    # background column dropped; per-class NMS + global top-100 on device
+    def one(bx, pr, vm):
+        return nms_ops.multiclass_nms(
+            bx[:, 1:, :], pr[:, 1:], vm,
+            score_threshold=cfg.eval.score_threshold,
+            iou_threshold=cfg.eval.nms_iou_threshold,
+            pre_nms_per_class=cfg.eval.pre_nms_per_class,
+            max_detections=cfg.eval.max_detections,
+        )
+
+    out = jax.vmap(one)(boxes, probs, prop_mask)
+    out["classes"] = out["classes"] + 1  # back to contiguous labels (bg=0)
+    return out
+
+
+class Detector:
+    """User-facing wrapper: holds the jitted graph; feeds numpy, returns numpy.
+
+    The ImageDetect analog — construct once, call per image/batch.
+    """
+
+    def __init__(self, model: MultiPathNet, params, cfg: Config):
+        self.model, self.params, self.cfg = model, params, cfg
+        self._fn = jax.jit(partial(detect_batch, model=model, cfg=cfg))
+
+    def __call__(self, images_u8, src_hws, proposals, prop_mask):
+        import numpy as np
+
+        out = self._fn(self.params, images_u8=jnp.asarray(images_u8),
+                       src_hws=jnp.asarray(src_hws),
+                       proposals=jnp.asarray(proposals),
+                       prop_mask=jnp.asarray(prop_mask))
+        return {k: np.asarray(v) for k, v in out.items()}

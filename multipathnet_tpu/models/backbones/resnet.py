@@ -1,0 +1,100 @@
+"""ResNet trunks (flax, NHWC, bf16 compute).
+
+The reference ships a resnet18 integral model for its demo and supports ResNet
+trunks (SURVEY.md §0, §2.1 "Per-trunk model defs" [M]). Standard
+He-init residual v1 design; c3/c4/c5 are the stride-4/8/16 stage outputs
+(stage4/stride-32 is omitted — the detector pools from /16 and below, matching
+the VGG tap points).
+
+BatchNorm runs in inference mode by default with learnable scale/bias
+(use_running_average) — detection fine-tuning freezes BN statistics, the
+standard Fast R-CNN-era practice mirrored from the reference's BN handling
+(SURVEY.md §2.1 "Model utils": "BN/dropout handling").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, dtype=self.dtype)
+        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
+        y = norm()(y)
+        if x.shape[-1] != self.filters or self.stride != 1:
+            x = nn.Conv(self.filters, (1, 1), (self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype)(x)
+            x = norm()(x)
+        return nn.relu(x + y)
+
+
+class BottleneckBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, dtype=self.dtype)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
+                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.relu(norm()(y))
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = norm()(y)
+        if x.shape[-1] != self.filters * 4 or self.stride != 1:
+            x = nn.Conv(self.filters * 4, (1, 1), (self.stride, self.stride),
+                        use_bias=False, dtype=self.dtype)(x)
+            x = norm()(x)
+        return nn.relu(x + y)
+
+
+class ResNet(nn.Module):
+    stage_sizes: Sequence[int] = (2, 2, 2)  # stages at strides 4, 8, 16
+    block: Any = BasicBlock
+    dtype: Any = jnp.bfloat16
+    feature_strides = {"c3": 4, "c4": 8, "c5": 16}
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> dict:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="stem")(x)
+        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 dtype=self.dtype)(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # /4
+        feats = {}
+        filters = 64
+        for si, n_blocks in enumerate(self.stage_sizes):
+            stride = 1 if si == 0 else 2
+            for bi in range(n_blocks):
+                x = self.block(filters, stride if bi == 0 else 1,
+                               dtype=self.dtype)(x, train)
+            feats[f"c{si + 3}"] = x
+            filters *= 2
+        return feats
+
+
+def ResNet18(dtype=jnp.bfloat16):
+    return ResNet(stage_sizes=(2, 2, 2), block=BasicBlock, dtype=dtype)
+
+
+def ResNet50(dtype=jnp.bfloat16):
+    return ResNet(stage_sizes=(3, 4, 6), block=BottleneckBlock, dtype=dtype)

@@ -1,0 +1,97 @@
+"""MultiPathNet assembly — trunk + foveal/skip ROI features + heads.
+
+Rebuilds models/multipathnet.lua (SURVEY.md §2.1) as a flax module with the
+reference's behavioral contract (input {images, rois} -> {class_scores,
+bbox_deltas}) and TPU-native internals: NHWC bf16 trunk, static padded ROI
+tensors, fused multi-level+foveal ROI pooling (XLA oracle now, Pallas kernel
+drop-in in ops/roi_pallas.py).
+
+Degenerate config = vanilla Fast R-CNN: foveal_scales=(1.0,),
+skip_levels=("c5",), integral_thresholds=(0.5,) — the reference's plain
+per-trunk model defs (SURVEY.md §2.1) are config presets here, not separate
+model files.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from multipathnet_tpu.core.config import ModelConfig
+from multipathnet_tpu.models.backbones import get_backbone
+from multipathnet_tpu.models.heads import MultiPathHead
+from multipathnet_tpu.ops import roi as roi_ops
+
+
+class MultiPathNet(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        dtype = jnp.dtype(self.cfg.dtype)
+        self.backbone = get_backbone(self.cfg.backbone, dtype)
+        self.head = MultiPathHead(
+            num_classes=self.cfg.num_classes,
+            foveal_scales=self.cfg.foveal_scales,
+            num_integral_heads=len(self.cfg.integral_thresholds),
+            fc_dim=self.cfg.fc_dim,
+            skip_reduce_dim=self.cfg.skip_reduce_dim,
+            class_specific_bbox=self.cfg.class_specific_bbox,
+            dtype=dtype,
+        )
+
+    def features(self, images: jnp.ndarray, train: bool = False) -> dict:
+        """images (B, H, W, 3) normalized float -> {"c3","c4","c5"} NHWC."""
+        feats = self.backbone(images, train=train)
+        return {l: feats[l] for l in self.cfg.skip_levels}
+
+    def pool_rois(self, feats: dict, rois: jnp.ndarray,
+                  image_hw: tuple) -> jnp.ndarray:
+        """feats: level -> (B, Hl, Wl, C); rois (B, R, 4) image coords.
+        -> (B, F, R, G, G, C_concat)."""
+        strides = self.backbone.feature_strides
+        scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
+
+        def one_image(f_b, r_b):
+            return roi_ops.multilevel_foveal_roi_features(
+                f_b, r_b, scales=scales,
+                foveal_factors=self.cfg.foveal_scales,
+                image_hw=image_hw,
+                output_size=self.cfg.roi_output_size,
+                samples_per_bin=self.cfg.roi_samples_per_bin,
+            )
+
+        import jax
+
+        feats_list = [feats[l] for l in self.cfg.skip_levels]
+
+        def wrapper(*args):
+            f_b = dict(zip(self.cfg.skip_levels, args[:-1]))
+            return one_image(f_b, args[-1])
+
+        return jax.vmap(wrapper)(*feats_list, rois)
+
+    def predict_rois(self, pooled: jnp.ndarray, train: bool = False):
+        """pooled (B, F, R, G, G, C) -> scores (B, R, K, C), deltas (B, R, D).
+
+        Flattens the batch and ROI axes into one big matmul batch (MXU wants
+        large GEMMs, not per-image loops)."""
+        b, f, r, g, _, c = pooled.shape
+        flat = pooled.transpose(1, 0, 2, 3, 4, 5).reshape(f, b * r, g, g, c)
+        scores, deltas = self.head(flat, train=train)
+        k = scores.shape[1]
+        return (scores.reshape(b, r, k, -1), deltas.reshape(b, r, -1))
+
+    def __call__(self, images: jnp.ndarray, rois: jnp.ndarray,
+                 train: bool = False):
+        """The reference contract: {image batch, rois} -> {class_scores,
+        bbox_deltas}. images (B,H,W,3); rois (B,R,4) padded image-coord boxes.
+        """
+        feats = self.features(images, train=train)
+        pooled = self.pool_rois(feats, rois, images.shape[1:3])
+        return self.predict_rois(pooled, train=train)
+
+
+def build_model(cfg: ModelConfig) -> MultiPathNet:
+    return MultiPathNet(cfg=cfg)

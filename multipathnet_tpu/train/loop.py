@@ -1,0 +1,182 @@
+"""The pjit'd training step + epoch loop — train.lua, the TPU way.
+
+Reference call stack (SURVEY.md §3.1): host donkeys sample ROI batches, GPUs
+run forward/backward under DataParallelTable, NCCL allreduces gradients.
+TPU-native redesign:
+
+- ONE jitted graph per step containing: device-side resize/normalize, hflip
+  augmentation, IoU matching + fg/bg sampling (data/sampler.py), forward,
+  integral+bbox losses, backward, SGD update. The host only supplies raw
+  uint8 images and padded proposal/GT tensors.
+- Data parallelism is sharding, not code: the batch enters sharded over the
+  mesh "data" axis, params are replicated, and XLA inserts the gradient
+  all-reduce over ICI (SURVEY.md §2.3 DP row). The same step function runs
+  unchanged on 1 chip or a pod.
+- Backbone stage freezing (NoBackprop analog) is a gradient mask, not a
+  module wrapper.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multipathnet_tpu.core.config import Config
+from multipathnet_tpu.core.mesh import DATA_AXIS, make_mesh
+from multipathnet_tpu.data import sampler as sampler_lib
+from multipathnet_tpu.data import transforms
+from multipathnet_tpu.models.multipath import MultiPathNet, build_model
+from multipathnet_tpu.ops import boxes as box_ops
+from multipathnet_tpu.train.losses import detection_loss
+from multipathnet_tpu.train.schedule import make_lr_schedule, make_optimizer
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    key: jax.Array
+
+
+class Batch(NamedTuple):
+    """Host-assembled raw batch (all fixed shapes; see data/pipeline.py)."""
+
+    images: jnp.ndarray     # (B, H0, W0, 3) uint8, padded raw canvas
+    src_hws: jnp.ndarray    # (B, 2) f32 valid extents
+    proposals: jnp.ndarray  # (B, P, 4) f32, original image coords
+    prop_mask: jnp.ndarray  # (B, P) bool
+    gt_boxes: jnp.ndarray   # (B, G, 4) f32, original image coords
+    gt_classes: jnp.ndarray  # (B, G) int32
+    gt_mask: jnp.ndarray    # (B, G) bool
+
+
+def _freeze_mask(params, n_frozen_stages: int):
+    """Zero-gradient mask for c1..cN trunk stages (NoBackprop analog).
+    Matches VGG conv{b}_* names; other backbones freeze nothing for now."""
+    def mask_fn(path, _):
+        names = [getattr(p, "key", "") for p in path]
+        for n in names:
+            for b in range(1, n_frozen_stages + 1):
+                if n.startswith(f"conv{b}_"):
+                    return 0.0
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_train_step(model: MultiPathNet, cfg: Config, tx):
+    m, d = cfg.model, cfg.data
+
+    def train_step(state: TrainState, batch: Batch):
+        key, k_flip, k_sample, k_drop = jax.random.split(state.key, 4)
+
+        # --- device-side augmentation + preprocessing -----------------------
+        b = batch.images.shape[0]
+        do_flip = jax.random.bernoulli(k_flip, d.hflip_prob, (b,))
+        sw = batch.src_hws[:, 1]
+        w0 = batch.images.shape[2]
+
+        def flip_img(img, w, f):
+            flipped = jnp.roll(jnp.flip(img, axis=1),
+                               (w - w0).astype(jnp.int32), axis=1)
+            return jnp.where(f, flipped, img)
+
+        images = jax.vmap(flip_img)(batch.images, sw, do_flip)
+
+        def flip_boxes(bx, w, f):
+            return jnp.where(f, box_ops.hflip(bx, w), bx)
+
+        proposals = jax.vmap(flip_boxes)(batch.proposals, sw, do_flip)
+        gt_boxes = jax.vmap(flip_boxes)(batch.gt_boxes, sw, do_flip)
+
+        canvases, scales = transforms.batch_resize_to_canvas(
+            images, d.image_size, batch.src_hws)
+        proposals = proposals * scales[:, None, None]
+        gt_boxes = gt_boxes * scales[:, None, None]
+
+        # --- on-device ROI sampling (BatchProviderROI analog) ---------------
+        sample = sampler_lib.sample_batch(
+            k_sample, proposals, batch.prop_mask, gt_boxes,
+            batch.gt_classes, batch.gt_mask,
+            rois_per_image=d.rois_per_image,
+            fg_fraction=d.fg_fraction,
+            fg_iou_threshold=d.fg_iou_threshold,
+            bg_iou_range=d.bg_iou_range,
+            bbox_reg_means=m.bbox_reg_means,
+            bbox_reg_stds=m.bbox_reg_stds,
+        )
+
+        # --- forward/backward ------------------------------------------------
+        def loss_fn(params):
+            scores, deltas = model.apply(
+                params, canvases, sample.rois, train=True,
+                rngs={"dropout": k_drop})
+            return detection_loss(
+                scores, deltas, sample,
+                integral_thresholds=m.integral_thresholds,
+                num_classes=m.num_classes,
+                class_specific_bbox=m.class_specific_bbox,
+            )
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        if cfg.train.freeze_backbone_stages > 0:
+            fmask = _freeze_mask(state.params, cfg.train.freeze_backbone_stages)
+            grads = jax.tree.map(lambda g, f: g * f, grads, fmask)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state, key), metrics
+
+    return train_step
+
+
+class Trainer:
+    """Builds model/optimizer/mesh, owns the jitted DP step.
+
+    Sharding layout (SURVEY.md §2.3): params replicated, batch split on the
+    "data" axis; pjit compiles the psum over ICI automatically.
+    """
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.tx, self.lr_schedule = make_optimizer(cfg.train)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        step = make_train_step(self.model, cfg, self.tx)
+        self._step = jax.jit(
+            step,
+            in_shardings=(self._repl, self._batch_sh),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,),
+        )
+
+    def init_state(self, seed: int | None = None) -> TrainState:
+        cfg = self.cfg
+        seed = cfg.train.seed if seed is None else seed
+        b = 1
+        images = jnp.zeros((b, *cfg.data.image_size, 3), jnp.float32)
+        rois = jnp.asarray([[[0, 0, 32, 32]]] * b, jnp.float32)
+        params = self.model.init(jax.random.key(seed), images, rois)
+        opt_state = self.tx.init(params)
+        state = TrainState(jnp.zeros((), jnp.int32), params, opt_state,
+                           jax.random.key(seed + 1))
+        return jax.device_put(state, self._repl)
+
+    def shard_batch(self, batch: Batch) -> Batch:
+        return jax.device_put(batch, self._batch_sh)
+
+    def step(self, state: TrainState, batch: Batch):
+        """One optimizer step. WARNING: `state` is DONATED — its buffers are
+        invalid afterwards on TPU (donation is a silent no-op on CPU, so CPU
+        tests won't catch reuse). Always rebind: `state, m = trainer.step(state,
+        batch)`. Snapshot with `jax.tree.map(jnp.copy, state)` if you must keep
+        the pre-step state (e.g. compare two branches)."""
+        return self._step(state, self.shard_batch(batch))

@@ -1,0 +1,95 @@
+"""Detection path contract tests (eval/detect.py + tester.py)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multipathnet_tpu.core.config import preset
+from multipathnet_tpu.data import synthetic
+from multipathnet_tpu.data.coco import CocoLoader
+from multipathnet_tpu.data.proposals import ProposalStore
+from multipathnet_tpu.eval.detect import Detector, detect_batch
+from multipathnet_tpu.eval.tester import Tester, groundtruth_to_coco
+from multipathnet_tpu.models.multipath import build_model
+
+RNG = np.random.default_rng(6)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("det_ds")
+    fx = synthetic.generate(str(root), num_images=4, image_size=64,
+                            num_classes=4, proposals_per_image=24, seed=9)
+    cfg = preset("tiny")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, num_classes=5))
+    model = build_model(cfg.model)
+    images = jnp.zeros((1, *cfg.data.image_size, 3), jnp.float32)
+    rois = jnp.asarray([[[0, 0, 32, 32]]], jnp.float32)
+    params = model.init(jax.random.key(0), images, rois)
+    loader = CocoLoader(fx["annotations"], fx["images"])
+    props = ProposalStore.load(fx["proposals"])
+    return cfg, model, params, loader, props
+
+
+def _batch_inputs(loader, props, cfg, n=2):
+    from multipathnet_tpu.data.pipeline import DetectionPipeline
+
+    pipe = DetectionPipeline(loader, props, cfg.data, batch_size=n, seed=0)
+    idxs, batch = next(pipe.eval_batches())
+    return idxs, batch
+
+
+def test_detector_output_contract(setup):
+    cfg, model, params, loader, props = setup
+    det = Detector(model, params, cfg)
+    idxs, batch = _batch_inputs(loader, props, cfg)
+    out = det(batch.images, batch.src_hws, batch.proposals, batch.prop_mask)
+    d = cfg.eval.max_detections
+    b = batch.images.shape[0]
+    assert out["boxes"].shape == (b, d, 4)
+    assert out["scores"].shape == (b, d)
+    assert out["classes"].shape == (b, d)
+    v = out["valid"]
+    assert np.all(out["scores"][v] >= 0) and np.all(out["scores"][v] <= 1)
+    assert np.all(out["classes"][v] >= 1)
+    assert np.all(out["classes"][v] <= cfg.model.num_classes - 1)
+    bx = out["boxes"][v]
+    # boxes in ORIGINAL image coords, inside the 64x64 image
+    assert bx.min() >= -1e-3 and bx.max() <= 64 + 1e-3
+    assert np.all(bx[:, 2] >= bx[:, 0]) and np.all(bx[:, 3] >= bx[:, 1])
+
+
+def test_detector_chunking_invariance(setup):
+    cfg, model, params, loader, props = setup
+    idxs, batch = _batch_inputs(loader, props, cfg)
+    outs = []
+    for chunk in (8, 32):
+        c2 = cfg.replace(eval=dataclasses.replace(cfg.eval, roi_chunk=chunk))
+        out = jax.jit(
+            lambda p, im, hw, pr, pm: detect_batch(p, model, c2, im, hw, pr, pm)
+        )(params, jnp.asarray(batch.images), jnp.asarray(batch.src_hws),
+          jnp.asarray(batch.proposals), jnp.asarray(batch.prop_mask))
+        outs.append(jax.tree.map(np.asarray, out))
+    np.testing.assert_allclose(outs[0]["scores"], outs[1]["scores"],
+                               atol=1e-5)
+    np.testing.assert_allclose(outs[0]["boxes"], outs[1]["boxes"], atol=1e-3)
+
+
+def test_tester_runs_and_scores(setup):
+    cfg, model, params, loader, props = setup
+    tester = Tester(model, params, cfg, loader, props, batch_size=2)
+    metrics = tester.test()
+    assert "AP" in metrics and "AP50" in metrics
+    assert -1.0 <= metrics["AP"] <= 1.0  # random weights: likely ~0
+
+
+def test_groundtruth_conversion(setup):
+    _, _, _, loader, _ = setup
+    gts = groundtruth_to_coco(loader)
+    assert len(gts) >= 4
+    for g in gts:
+        assert g["bbox"][2] > 0 and g["bbox"][3] > 0
+        assert g["category_id"] in loader.category_ids

@@ -1,0 +1,188 @@
+"""Model assembly + sampler + transforms + detect path (tiny preset, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multipathnet_tpu.core.config import preset
+from multipathnet_tpu.data import sampler as S
+from multipathnet_tpu.data import transforms as T
+from multipathnet_tpu.models.multipath import build_model
+
+RNG = np.random.default_rng(4)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = preset("tiny")
+    model = build_model(cfg.model)
+    images = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    rois = jnp.asarray(RNG.uniform(5, 40, (2, 8, 4)), jnp.float32)
+    rois = rois.at[..., 2:].add(10.0)
+    params = model.init(jax.random.key(0), images, rois)
+    return cfg, model, params
+
+
+def test_forward_shapes(tiny_model):
+    cfg, model, params = tiny_model
+    images = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    rois = jnp.asarray([[[4, 4, 30, 30], [10, 10, 50, 44]]] * 2, jnp.float32)
+    scores, deltas = model.apply(params, images, rois)
+    k = len(cfg.model.integral_thresholds)
+    c = cfg.model.num_classes
+    assert scores.shape == (2, 2, k, c)
+    assert deltas.shape == (2, 2, 4 * c)
+    assert scores.dtype == jnp.float32
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_forward_jit_and_grad(tiny_model):
+    cfg, model, params = tiny_model
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    rois = jnp.asarray([[[4, 4, 30, 30]]], jnp.float32)
+
+    @jax.jit
+    def loss(p):
+        s, d = model.apply(p, images, rois)
+        return (s.sum() + d.sum()).astype(jnp.float32)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trunk must receive gradient through ROI pooling
+    gsum = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert gsum > 0
+
+
+def test_backbone_stride_contract():
+    from multipathnet_tpu.models.backbones import REGISTRY, get_backbone
+
+    for name in REGISTRY:
+        bb = get_backbone(name, jnp.float32)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = bb.init(jax.random.key(0), x)
+        feats = bb.apply(params, x)
+        for lvl, stride in bb.feature_strides.items():
+            assert feats[lvl].shape[1] == 64 // stride, (name, lvl)
+
+
+def test_vanilla_fastrcnn_config():
+    cfg = preset("tiny")
+    mc = cfg.model.__class__(**{**cfg.model.__dict__,
+                                "foveal_scales": (1.0,),
+                                "skip_levels": ("c5",),
+                                "integral_thresholds": (0.5,)})
+    model = build_model(mc)
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    rois = jnp.asarray([[[4, 4, 30, 30]]], jnp.float32)
+    params = model.init(jax.random.key(0), images, rois)
+    scores, deltas = model.apply(params, images, rois)
+    assert scores.shape == (1, 1, 1, mc.num_classes)
+
+
+# ---------------------------------------------------------------------------
+# sampler
+# ---------------------------------------------------------------------------
+
+def _mk_scene():
+    gt = jnp.asarray([[10, 10, 30, 30], [40, 40, 60, 60], [0, 0, 0, 0]],
+                     jnp.float32)
+    gt_cls = jnp.asarray([1, 2, 0], jnp.int32)
+    gt_mask = jnp.asarray([True, True, False])
+    props = []
+    for (x1, y1, x2, y2) in [(10, 10, 30, 30), (12, 12, 32, 32),
+                             (38, 42, 58, 62)]:
+        props.append([x1, y1, x2, y2])  # high-IoU
+    for _ in range(13):
+        x1, y1 = RNG.uniform(0, 40, 2)
+        props.append([x1, y1, x1 + 8, y1 + 8])  # mostly bg
+    props = jnp.asarray(props, jnp.float32)
+    mask = jnp.ones(16, bool)
+    return props, mask, gt, gt_cls, gt_mask
+
+
+def test_sampler_semantics():
+    props, mask, gt, gt_cls, gt_mask = _mk_scene()
+    out = S.sample_rois(jax.random.key(1), props, mask, gt, gt_cls, gt_mask,
+                        rois_per_image=16, fg_fraction=0.25)
+    out = jax.tree.map(np.asarray, out)
+    fg = out.is_fg & out.valid
+    bg = ~out.is_fg & out.valid
+    assert fg.sum() >= 2  # GT in pool guarantees fg
+    assert np.all(out.max_iou[fg] >= 0.5)
+    assert np.all(out.matched_class[fg] >= 1)
+    assert np.all(out.matched_class[~fg] == 0)
+    if bg.any():
+        assert np.all(out.max_iou[bg] < 0.5)
+        assert np.all(out.max_iou[bg] >= 0.1)
+    # fg slots: decoding targets recovers the matched GT box
+    from multipathnet_tpu.ops import boxes as B
+
+    dec = np.asarray(B.decode(jnp.asarray(out.rois), jnp.asarray(out.bbox_targets),
+                              stds=(0.1, 0.1, 0.2, 0.2)))
+    gtn = np.asarray(gt)
+    for i in np.nonzero(fg)[0]:
+        d = np.abs(gtn - dec[i]).sum(-1).min()
+        assert d < 1e-2, f"fg slot {i} target does not decode to a GT box"
+
+
+def test_sampler_no_gt_image():
+    props, mask, gt, gt_cls, _ = _mk_scene()
+    out = S.sample_rois(jax.random.key(2), props, mask, gt, gt_cls,
+                        jnp.zeros(3, bool), rois_per_image=16)
+    out = jax.tree.map(np.asarray, out)
+    assert not (out.is_fg & out.valid).any()  # nothing can be fg
+    assert np.all(out.matched_class[out.valid] == 0)
+
+
+def test_sampler_deterministic_and_batched():
+    props, mask, gt, gt_cls, gt_mask = _mk_scene()
+    a = S.sample_rois(jax.random.key(3), props, mask, gt, gt_cls, gt_mask)
+    b = S.sample_rois(jax.random.key(3), props, mask, gt, gt_cls, gt_mask)
+    np.testing.assert_array_equal(np.asarray(a.rois), np.asarray(b.rois))
+    batch = S.sample_batch(
+        jax.random.key(4),
+        jnp.stack([props] * 3), jnp.stack([mask] * 3), jnp.stack([gt] * 3),
+        jnp.stack([gt_cls] * 3), jnp.stack([gt_mask] * 3),
+        rois_per_image=8,
+    )
+    assert batch.rois.shape == (3, 8, 4)
+    # different per-image keys -> different draws (almost surely)
+    assert not np.array_equal(np.asarray(batch.rois[0]),
+                              np.asarray(batch.rois[1]))
+
+
+def test_integral_labels():
+    mc = np.asarray([3, 2, 1], np.int32)
+    iou = np.asarray([0.72, 0.55, 0.3], np.float32)
+    fg = np.asarray([True, True, False])
+    lab = np.asarray(S.integral_labels(jnp.asarray(mc), jnp.asarray(iou),
+                                       jnp.asarray(fg),
+                                       (0.5, 0.55, 0.6, 0.65, 0.7, 0.75)))
+    np.testing.assert_array_equal(lab[0], [3, 3, 3, 3, 3, 0])  # iou .72
+    np.testing.assert_array_equal(lab[1], [2, 2, 0, 0, 0, 0])  # iou .55
+    np.testing.assert_array_equal(lab[2], [0, 0, 0, 0, 0, 0])  # bg
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+def test_resize_to_canvas_scale_and_mask():
+    img = np.full((40, 20, 3), 255, np.uint8)
+    canvas, scale = T.resize_to_canvas(jnp.asarray(img), (64, 64))
+    canvas, scale = np.asarray(canvas), float(scale)
+    assert canvas.shape == (64, 64, 3)
+    assert abs(scale - 1.6) < 1e-6  # min(64/40, 64/20)
+    # valid region ~ (64, 32); beyond must be zeroed
+    assert np.abs(canvas[:, 33:]).max() == 0
+    assert np.abs(canvas[:60, :30]).max() > 0
+
+
+def test_resize_respects_src_hw_padding():
+    raw = np.zeros((64, 64, 3), np.uint8)
+    raw[:40, :20] = 200  # valid extent 40x20, rest is pad
+    c1, s1 = T.resize_to_canvas(jnp.asarray(raw), (64, 64), src_hw=(40, 20))
+    assert abs(float(s1) - 1.6) < 1e-6
+    assert np.abs(np.asarray(c1)[:, 33:]).max() == 0

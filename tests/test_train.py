@@ -1,0 +1,90 @@
+"""Training integration: overfit the synthetic set, checkpoint/resume,
+determinism (SURVEY.md §4 'determinism tests', M4 smoke test)."""
+
+import jax
+import numpy as np
+import pytest
+
+from multipathnet_tpu.core.config import preset
+from multipathnet_tpu.core.mesh import make_mesh
+from multipathnet_tpu.data import synthetic
+from multipathnet_tpu.data.coco import CocoLoader
+from multipathnet_tpu.data.pipeline import DetectionPipeline
+from multipathnet_tpu.data.proposals import ProposalStore
+from multipathnet_tpu.train.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_ds")
+    fx = synthetic.generate(str(root), num_images=8, image_size=64,
+                            num_classes=4, proposals_per_image=24, seed=5)
+    cfg = preset("tiny")
+    cfg = cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "num_classes": 5}))
+    loader = CocoLoader(fx["annotations"], fx["images"])
+    props = ProposalStore.load(fx["proposals"])
+    mesh = make_mesh(n_data=2)
+    trainer = Trainer(cfg, mesh=mesh)
+    pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
+    return cfg, trainer, pipe, loader, props
+
+
+def test_train_loss_decreases(setup):
+    cfg, trainer, pipe, *_ = setup
+    state = trainer.init_state()
+    losses = []
+    for epoch in range(6):
+        for batch in pipe.epoch(epoch):
+            state, m = trainer.step(state, batch)
+            losses.append(float(m["loss"]))
+    assert np.all(np.isfinite(losses))
+    first, last = np.mean(losses[:4]), np.mean(losses[-4:])
+    assert last < first * 0.8, f"no learning: {first:.3f} -> {last:.3f}"
+    assert int(np.asarray(state.step)) == len(losses)
+
+
+def test_train_step_deterministic(setup):
+    cfg, trainer, pipe, *_ = setup
+    batch = next(pipe.epoch(0))
+    s1, m1 = trainer.step(trainer.init_state(), batch)
+    s2, m2 = trainer.step(trainer.init_state(), batch)
+    assert float(m1["loss"]) == float(m2["loss"])
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_metrics_contract(setup):
+    cfg, trainer, pipe, *_ = setup
+    batch = next(pipe.epoch(1))
+    _, m = trainer.step(trainer.init_state(), batch)
+    k = len(cfg.model.integral_thresholds)
+    for key in ["loss", "loss_cls", "loss_bbox", "acc_head0", "num_fg",
+                "grad_norm"] + [f"loss_cls_h{i}" for i in range(k)]:
+        assert key in m, key
+        assert np.isfinite(float(m[key])), key
+    assert float(m["num_fg"]) > 0  # jittered-GT proposals guarantee fg
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    from multipathnet_tpu.train.checkpoint import Checkpointer
+
+    cfg, trainer, pipe, *_ = setup
+    state = trainer.init_state()
+    batch = next(pipe.epoch(2))
+    state, _ = trainer.step(state, batch)
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    ck.save(state, force=True)
+    ck.wait()
+    assert ck.latest_step() == 1
+    restored = ck.restore_latest(trainer.init_state())
+    assert int(np.asarray(restored.step)) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed state steps identically to the original
+    s_a, m_a = trainer.step(state, batch)
+    s_b, m_b = trainer.step(restored, batch)
+    assert float(m_a["loss"]) == float(m_b["loss"])
