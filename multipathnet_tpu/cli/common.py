@@ -1,0 +1,103 @@
+"""Shared CLI plumbing: preset selection + dataclass field overrides + data
+resolution (opts.lua + config.lua analog, SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from multipathnet_tpu.core.config import Config, PRESETS, preset
+
+
+def add_config_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--platform", default="", choices=("", "cpu", "tpu"),
+                   help="pin the JAX backend (the axon plugin ignores "
+                        "JAX_PLATFORMS, so use this flag)")
+    p.add_argument("--preset", default="default", choices=PRESETS,
+                   help="named config preset (BASELINE.json configs)")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="override config fields, e.g. --set train.lr=0.002 "
+                        "--set model.backbone=resnet18")
+    p.add_argument("--dataset-root", default="", help="COCO-format root")
+    p.add_argument("--split", default="synthetic")
+    p.add_argument("--annotations", default="",
+                   help="instances JSON (defaults under dataset root)")
+    p.add_argument("--proposals", default="",
+                   help="proposals .npz (defaults under dataset root)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic dataset under --dataset-root "
+                        "(or a temp dir) and use it")
+
+
+def _parse_value(raw: str, old):
+    t = type(old)
+    if t is bool:
+        return raw.lower() in ("1", "true", "yes")
+    if t is tuple:
+        elems = [v for v in raw.strip("()").split(",") if v]
+        et = type(old[0]) if old else float
+        return tuple(et(v) for v in elems)
+    return t(raw)
+
+
+def apply_overrides(cfg: Config, pairs: list[str]) -> Config:
+    for pair in pairs:
+        key, _, raw = pair.partition("=")
+        if not raw:
+            raise SystemExit(f"--set expects K=V, got {pair!r}")
+        section, _, field = key.partition(".")
+        sub = getattr(cfg, section, None)
+        if sub is None or not hasattr(sub, field):
+            raise SystemExit(f"unknown config field {key!r}")
+        old = getattr(sub, field)
+        sub = dataclasses.replace(sub, **{field: _parse_value(raw, old)})
+        cfg = dataclasses.replace(cfg, **{section: sub})
+    return cfg
+
+
+def build_config(args) -> Config:
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return apply_overrides(preset(args.preset), args.set)
+
+
+def resolve_data(args, cfg: Config):
+    """Returns (loader, proposal_store). Generates synthetic data on demand."""
+    import os
+
+    from multipathnet_tpu.data import synthetic
+    from multipathnet_tpu.data.coco import CocoLoader, make_split
+    from multipathnet_tpu.data.proposals import ProposalStore
+
+    root = args.dataset_root
+    if args.synthetic:
+        if not root:
+            import tempfile
+
+            root = tempfile.mkdtemp(prefix="mpnet_synth_")
+        marker = os.path.join(root, "annotations",
+                              f"instances_{args.split}.json")
+        if not os.path.exists(marker):
+            size = max(cfg.data.image_size)
+            synthetic.generate(
+                root, num_images=16, image_size=min(size, 256),
+                num_classes=cfg.model.num_classes - 1,
+                proposals_per_image=min(cfg.data.max_proposals, 64),
+                split=args.split, seed=cfg.train.seed)
+        loader = CocoLoader(marker, os.path.join(root, args.split))
+        props = ProposalStore.load(
+            os.path.join(root, f"proposals_{args.split}.npz"))
+        return loader, props
+
+    if not root:
+        raise SystemExit("--dataset-root required (or use --synthetic)")
+    if args.annotations:
+        loader = CocoLoader(args.annotations,
+                            os.path.join(root, args.split))
+    else:
+        loader = make_split(root, args.split)
+    prop_path = args.proposals or os.path.join(
+        root, f"proposals_{args.split}.npz")
+    return loader, ProposalStore.load(prop_path)

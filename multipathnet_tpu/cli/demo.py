@@ -1,0 +1,115 @@
+"""Demo entry point — demo.lua analog (SURVEY.md §2.1, §3.3).
+
+Single image -> proposals -> detections -> rendered boxes. Proposals come from
+a proposal .npz, or (once trained) the on-TPU SharpMask-style generator
+(models/sharpmask.py), or a dense sliding-window fallback so the demo always
+runs offline.
+
+    python -m multipathnet_tpu.cli.demo --preset tiny --synthetic --index 0 \
+        --output /tmp/demo_out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+from multipathnet_tpu.cli import common
+
+
+def sliding_window_proposals(h: int, w: int, n: int = 256) -> np.ndarray:
+    """Dense multi-scale window grid — proposal source of last resort."""
+    out = []
+    for frac in (0.2, 0.35, 0.5, 0.7):
+        bw, bh = w * frac, h * frac
+        steps = max(int(np.sqrt(max(n // 8, 1))), 2)
+        for cy in np.linspace(bh / 2, h - bh / 2, steps):
+            for cx in np.linspace(bw / 2, w - bw / 2, steps):
+                out.append([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2])
+    return np.asarray(out[:n], np.float32)
+
+
+def draw_detections(image: np.ndarray, dets: dict, class_names,
+                    score_threshold: float = 0.3) -> "object":
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(image).convert("RGB")
+    dr = ImageDraw.Draw(img)
+    palette = [(230, 60, 60), (60, 200, 90), (70, 100, 240), (240, 200, 40),
+               (200, 80, 220), (60, 210, 210)]
+    n = 0
+    for box, score, cls, ok in zip(dets["boxes"], dets["scores"],
+                                   dets["classes"], dets["valid"]):
+        if not ok or score < score_threshold:
+            continue
+        color = palette[int(cls) % len(palette)]
+        dr.rectangle([float(box[0]), float(box[1]),
+                      float(box[2]), float(box[3])], outline=color, width=2)
+        name = class_names[int(cls) - 1] if int(cls) - 1 < len(class_names) \
+            else str(int(cls))
+        dr.text((float(box[0]) + 2, float(box[1]) + 2),
+                f"{name} {float(score):.2f}", fill=color)
+        n += 1
+    return img, n
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_config_args(p)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--index", type=int, default=0, help="dataset image index")
+    p.add_argument("--image", default="", help="arbitrary image file instead")
+    p.add_argument("--output", default="demo_out.png")
+    p.add_argument("--score-threshold", type=float, default=0.3)
+    args = p.parse_args(argv)
+
+    cfg = common.build_config(args)
+    loader, props = common.resolve_data(args, cfg)
+    if loader.num_classes != cfg.model.num_classes:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, num_classes=loader.num_classes))
+
+    from multipathnet_tpu.core.padding import pad_to
+    from multipathnet_tpu.eval.detect import Detector
+    from multipathnet_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    if args.checkpoint_dir:
+        import os
+
+        from multipathnet_tpu.train.checkpoint import Checkpointer
+
+        restored = Checkpointer(
+            os.path.join(args.checkpoint_dir, "ckpt")).restore_latest(state)
+        if restored is not None:
+            state = restored
+            print(f"restored step {int(np.asarray(state.step))}")
+
+    if args.image:
+        from PIL import Image
+
+        image = np.asarray(Image.open(args.image).convert("RGB"), np.uint8)
+        boxes = sliding_window_proposals(*image.shape[:2])
+    else:
+        image = loader.load_image(args.index)
+        boxes, _ = props.for_image_id(loader.image_id(args.index))
+
+    h, w = image.shape[:2]
+    pb, pm = pad_to(boxes.astype(np.float32), cfg.data.max_proposals)
+    det = Detector(trainer.model, state.params, cfg)
+    out = det(image[None], np.asarray([[h, w]], np.float32),
+              pb[None], pm[None])
+    dets = {k: v[0] for k, v in out.items()}
+    img, n = draw_detections(image, dets, loader.category_names,
+                             args.score_threshold)
+    img.save(args.output)
+    kept = int(dets["valid"].sum())
+    print(f"{kept} detections ({n} above {args.score_threshold}); "
+          f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

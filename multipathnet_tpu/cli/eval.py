@@ -1,0 +1,59 @@
+"""Evaluation entry point — run_test.lua analog (SURVEY.md §2.1, §3.2).
+
+    python -m multipathnet_tpu.cli.eval --preset tiny --synthetic \
+        --checkpoint-dir /tmp/mpnet_ckpt
+Prints the full COCO metric table; exits nonzero if no data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+from multipathnet_tpu.cli import common
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_config_args(p)
+    p.add_argument("--checkpoint-dir", default="",
+                   help="restore params from here (default: random init)")
+    p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("--json", action="store_true",
+                   help="print metrics as one JSON line")
+    args = p.parse_args(argv)
+
+    cfg = common.build_config(args)
+    loader, props = common.resolve_data(args, cfg)
+    if loader.num_classes != cfg.model.num_classes:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, num_classes=loader.num_classes))
+
+    from multipathnet_tpu.eval.tester import Tester
+    from multipathnet_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg)
+    state = trainer.init_state()
+    if args.checkpoint_dir:
+        import os
+
+        from multipathnet_tpu.train.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(os.path.join(args.checkpoint_dir, "ckpt"))
+        restored = ckpt.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+        state = restored
+        print(f"restored step {int(np.asarray(state.step))}")
+
+    tester = Tester(trainer.model, state.params, cfg, loader, props)
+    metrics = tester.test(max_images=args.max_images or None, verbose=not args.json)
+    if args.json:
+        print(json.dumps({k: round(v, 5) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

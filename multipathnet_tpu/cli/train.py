@@ -1,0 +1,112 @@
+"""Training entry point — train.lua analog (SURVEY.md §2.1, §3.1).
+
+    python -m multipathnet_tpu.cli.train --preset multipath_vgg16_train \
+        --dataset-root /data/coco --split trainval35k
+    python -m multipathnet_tpu.cli.train --preset tiny --synthetic --steps 60
+
+Checkpoints + config dump + JSONL metrics land in cfg.train.checkpoint_dir;
+`--resume` continues exactly (params, opt state, step, PRNG).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+from multipathnet_tpu.cli import common
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_config_args(p)
+    p.add_argument("--steps", type=int, default=0,
+                   help="override cfg.train.total_steps")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run the tester every N steps (0 = only at end)")
+    p.add_argument("--no-final-eval", action="store_true")
+    args = p.parse_args(argv)
+
+    cfg = common.build_config(args)
+    if args.steps:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, total_steps=args.steps))
+
+    import jax
+
+    from multipathnet_tpu.data.pipeline import DetectionPipeline
+    from multipathnet_tpu.eval.tester import Tester
+    from multipathnet_tpu.train.checkpoint import Checkpointer
+    from multipathnet_tpu.train.loop import Trainer
+    from multipathnet_tpu.utils.metrics import MetricsLogger
+
+    loader, props = common.resolve_data(args, cfg)
+    print(f"dataset: {len(loader)} images, {loader.num_classes} classes; "
+          f"devices: {jax.devices()}")
+    if loader.num_classes != cfg.model.num_classes:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, num_classes=loader.num_classes))
+        print(f"config: num_classes -> {loader.num_classes} (from dataset)")
+
+    os.makedirs(cfg.train.checkpoint_dir, exist_ok=True)
+    with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    trainer = Trainer(cfg)
+    pipe = DetectionPipeline(loader, props, cfg.data,
+                             batch_size=cfg.train.batch_size,
+                             seed=cfg.train.seed)
+    ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "ckpt"))
+    logger = MetricsLogger(os.path.join(cfg.train.checkpoint_dir,
+                                        "metrics.jsonl"))
+
+    state = trainer.init_state()
+    if args.resume:
+        restored = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(np.asarray(restored.step))}")
+        else:
+            print("no checkpoint found; starting fresh")
+
+    def run_eval(params, tag):
+        m = Tester(trainer.model, params, cfg, loader, props).test()
+        logger.log(int(np.asarray(state.step)), tag=tag, **m)
+        return m
+
+    step = int(np.asarray(state.step))
+    epoch = step // max(len(pipe), 1)
+    t_last, s_last = time.time(), step
+    imgs_per_step = cfg.train.batch_size
+    while step < cfg.train.total_steps:
+        for batch in pipe.epoch(epoch):
+            state, metrics = trainer.step(state, batch)
+            step += 1
+            if step % cfg.train.log_every == 0:
+                dt = time.time() - t_last
+                ips = (step - s_last) * imgs_per_step / max(dt, 1e-9)
+                logger.log(step, lr=trainer.lr_schedule(step),
+                           imgs_per_sec=ips,
+                           **{k: v for k, v in metrics.items()})
+                t_last, s_last = time.time(), step
+            if step % cfg.train.checkpoint_every == 0:
+                ckpt.save(state)
+            if args.eval_every and step % args.eval_every == 0:
+                run_eval(state.params, "interim")
+            if step >= cfg.train.total_steps:
+                break
+        epoch += 1
+
+    ckpt.save(state, force=True)
+    ckpt.wait()
+    if not args.no_final_eval:
+        m = run_eval(state.params, "final")
+        print("final:", {k: round(v, 4) for k, v in m.items()})
+
+
+if __name__ == "__main__":
+    main()

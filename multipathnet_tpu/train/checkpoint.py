@@ -39,6 +39,8 @@ class Checkpointer:
 
     def save(self, state: TrainState, force: bool = False) -> None:
         step = int(np.asarray(state.step))
+        if step in self._mgr.all_steps():
+            return  # idempotent: periodic + final save can hit the same step
         self._mgr.save(step, args=ocp.args.StandardSave(_to_saveable(state)),
                        force=force)
 

@@ -147,7 +147,13 @@ class Trainer:
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.tx, self.lr_schedule = make_optimizer(cfg.train)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            # largest device count that divides the global batch
+            n = len(jax.devices())
+            while cfg.train.batch_size % n:
+                n -= 1
+            mesh = make_mesh(n_data=n)
+        self.mesh = mesh
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
         step = make_train_step(self.model, cfg, self.tx)

@@ -1,0 +1,96 @@
+"""CLI entry points, in-process (conftest pins CPU): train -> eval -> demo."""
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+def test_train_cli_runs_and_checkpoints(workdir):
+    from multipathnet_tpu.cli import train as train_cli
+
+    ckpt_dir = str(workdir / "run1")
+    train_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--steps", "6", "--no-final-eval",
+        "--set", f"train.checkpoint_dir={ckpt_dir}",
+        "--set", "train.checkpoint_every=3",
+        "--set", "train.log_every=2",
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "config.json"))
+    assert os.path.exists(os.path.join(ckpt_dir, "metrics.jsonl"))
+    rows = [json.loads(l) for l in
+            open(os.path.join(ckpt_dir, "metrics.jsonl"))]
+    assert any("loss" in r for r in rows)
+    cfg = json.load(open(os.path.join(ckpt_dir, "config.json")))
+    assert cfg["model"]["num_classes"] == 5  # adopted from dataset (4 fg + bg)
+
+
+def test_train_cli_resume(workdir):
+    from multipathnet_tpu.cli import train as train_cli
+
+    ckpt_dir = str(workdir / "run1")
+    train_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--steps", "9", "--resume", "--no-final-eval",
+        "--set", f"train.checkpoint_dir={ckpt_dir}",
+        "--set", "train.checkpoint_every=3",
+    ])
+    from multipathnet_tpu.train.checkpoint import Checkpointer
+
+    ck = Checkpointer(os.path.join(ckpt_dir, "ckpt"))
+    assert ck.latest_step() == 9
+
+
+def test_eval_cli_with_checkpoint(workdir, capsys):
+    from multipathnet_tpu.cli import eval as eval_cli
+
+    eval_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--checkpoint-dir", str(workdir / "run1"),
+        "--json",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(out)
+    assert "AP" in metrics and "AP50" in metrics
+
+
+def test_demo_cli_writes_image(workdir):
+    from multipathnet_tpu.cli import demo as demo_cli
+
+    out_path = str(workdir / "demo.png")
+    demo_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--checkpoint-dir", str(workdir / "run1"),
+        "--index", "1", "--output", out_path,
+        "--score-threshold", "0.0",
+    ])
+    from PIL import Image
+
+    img = Image.open(out_path)
+    assert img.size == (64, 64)
+
+
+def test_config_override_errors():
+    from multipathnet_tpu.cli.common import apply_overrides
+    from multipathnet_tpu.core.config import preset
+
+    with pytest.raises(SystemExit):
+        apply_overrides(preset("tiny"), ["bogus.field=1"])
+    with pytest.raises(SystemExit):
+        apply_overrides(preset("tiny"), ["train.lr"])
+    cfg = apply_overrides(preset("tiny"), [
+        "train.lr=0.5", "model.foveal_scales=1.0,2.0",
+        "data.image_size=32,32"])
+    assert cfg.train.lr == 0.5
+    assert cfg.model.foveal_scales == (1.0, 2.0)
+    assert cfg.data.image_size == (32, 32)
