@@ -173,6 +173,46 @@ def polys_to_mask(polys, height: int, width: int) -> np.ndarray:
     return np.asarray(img, np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# Native dispatch — C++ fast path (native/rle.cpp via ctypes) when built.
+# The NumPy implementations above remain the oracle (suffix _np) and the
+# fallback. tests/test_rle_native.py checks byte-exact agreement.
+# ---------------------------------------------------------------------------
+
+mask_to_counts_np = mask_to_counts
+counts_to_mask_np = counts_to_mask
+encode_counts_np = encode_counts
+decode_counts_np = decode_counts
+
+try:
+    from multipathnet_tpu.data import rle_native as _native
+
+    _HAVE_NATIVE = _native.available()
+except Exception:  # pragma: no cover - build env without toolchain
+    _native = None
+    _HAVE_NATIVE = False
+
+if _HAVE_NATIVE:
+    mask_to_counts = _native.mask_to_counts
+    counts_to_mask = _native.counts_to_mask
+    encode_counts = _native.encode_string
+    decode_counts = _native.decode_string
+
+    def _counts_of(rle_dict):
+        counts = rle_dict["counts"]
+        if isinstance(counts, bytes):
+            counts = counts.decode("ascii")
+        if isinstance(counts, str):
+            counts = decode_counts(counts)
+        return counts
+
+    def area(rle):  # noqa: F811 — native override, same contract
+        return _native.area_bbox(_counts_of(rle), rle["size"][0])[0]
+
+    def to_bbox(rle):  # noqa: F811 — native override, same contract
+        return _native.area_bbox(_counts_of(rle), rle["size"][0])[1]
+
+
 def iou(dt: list[dict], gt: list[dict], iscrowd: list[int]) -> np.ndarray:
     """Mask IoU matrix (len(dt), len(gt)); crowd GT uses union = area(dt)
     (maskApi rleIou semantics)."""

@@ -22,6 +22,14 @@ from collections import defaultdict
 
 import numpy as np
 
+try:
+    from multipathnet_tpu.data import rle_native as _NATIVE
+
+    if not _NATIVE.available():
+        _NATIVE = None
+except Exception:  # pragma: no cover
+    _NATIVE = None
+
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 REC_THRS = np.round(np.linspace(0.0, 1.0, 101), 2)
 AREA_RANGES = {
@@ -34,9 +42,12 @@ MAX_DETS = (1, 10, 100)
 
 
 def box_iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray):
-    """IoU of xywh boxes; crowd GT uses union = area(dt) (maskApi semantics)."""
+    """IoU of xywh boxes; crowd GT uses union = area(dt) (maskApi semantics).
+    Dispatches to the native C++ codec (native/rle.cpp bb_iou) when built."""
     if len(dt) == 0 or len(gt) == 0:
         return np.zeros((len(dt), len(gt)))
+    if _NATIVE is not None:
+        return _NATIVE.box_iou_xywh(dt, gt, np.asarray(iscrowd, np.uint8))
     dx1, dy1 = dt[:, 0], dt[:, 1]
     dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
     gx1, gy1 = gt[:, 0], gt[:, 1]

@@ -1,0 +1,188 @@
+"""Pyramid ROI align — the TPU-native ROI feature extractor.
+
+Why not direct gather-based roi_align (ops/roi.py)? Profiling on the real v5e
+(2026-08-16) put the XLA per-sample gather at 864ms for 8x512 ROIs — 95% of
+inference — and Mosaic's dynamic_gather does not compile on this toolchain.
+TPUs want dense, static, contiguous access; per-sample scatter/gather is a
+GPU-ism. Redesign (DESIGN.md):
+
+  1. For each backbone level, pre-build a 2x avg-pool pyramid ONCE per image
+     (dense, cheap, fuses into the trunk).
+  2. Each (ROI, foveal) view picks the pyramid scale where its 7 bins span
+     1-2 cells => all of its bilinear samples live in a fixed 16x16 window.
+  3. Extract the window with a single dynamic_slice (no gather) and evaluate
+     all G*S x G*S samples as two small matmuls:
+         V = Wy @ window @ Wx^T      (Wy/Wx: dense (G*S, 16) bilinear weights)
+     then mean/max over the S x S samples per bin.
+
+Numerics: for ROIs whose bins already span <= 2 cells at the base scale this
+is EXACTLY roi_align (level 0, same samples — tested bit-close in
+tests/test_roi_pyramid.py). For larger ROIs the samples read the 2^l-pooled
+map: anti-aliased area sampling instead of roi_align's sparse point sampling —
+a deliberate, documented improvement (large-ROI point sampling aliases; cf.
+ViP, PAPERS.md, on pooling approximations).
+
+The whole op is static-shaped XLA (vmapped dynamic_slice + batched matmul);
+ops/roi_pallas.py supplies a fused kernel with identical semantics; this
+module is its oracle.
+
+Pyramid storage: each level's scales are stacked along rows in ONE
+(sum_rows, Wmax, C) buffer with per-scale row offsets, so scale selection is
+an offset add, not a tensor switch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+WINDOW = 16  # window cells per side; holds any ROI whose bins span <= 2 cells
+
+
+class Pyramid(NamedTuple):
+    flat: jnp.ndarray        # (sum_rows, Wmax, C)
+    row_offsets: jnp.ndarray  # (L,) int32 — scale l starts at this row
+    heights: jnp.ndarray     # (L,) int32 — valid rows per scale
+    widths: jnp.ndarray      # (L,) int32 — valid cols per scale
+    base_scale: float        # spatial_scale of scale 0 (e.g. 1/4 for c3)
+    num_scales: int
+
+
+def num_scales_for(h: int, w: int, output_size: int = 7) -> int:
+    """Enough scales that the largest possible ROI has bins spanning <2 cells."""
+    span = max(h, w) / output_size
+    return max(1, int(math.ceil(math.log2(max(span, 1.0)))) + 1)
+
+
+def build_pyramid(feat: jnp.ndarray, spatial_scale: float,
+                  num_scales: int | None = None,
+                  output_size: int = 7) -> Pyramid:
+    """feat (H, W, C) -> stacked 2x avg-pool pyramid. Pure XLA, fuses with the
+    trunk; cost ~1.33x the base map in memory/bandwidth."""
+    h, w, c = feat.shape
+    if num_scales is None:
+        num_scales = num_scales_for(h, w, output_size)
+    wmax = max(w, WINDOW)
+    levels, heights, widths = [], [], []
+    cur = feat
+    for _ in range(num_scales):
+        ch, cw = cur.shape[:2]
+        heights.append(ch)
+        widths.append(cw)
+        rows = max(ch, WINDOW)
+        lv = jnp.zeros((rows, wmax, c), feat.dtype)
+        lv = lv.at[:ch, :cw].set(cur)
+        levels.append(lv)
+        # 2x avg pool (pad odd dims)
+        ph, pw = ch + (ch % 2), cw + (cw % 2)
+        nxt = jnp.zeros((ph, pw, c), feat.dtype).at[:ch, :cw].set(cur)
+        cnt = jnp.zeros((ph, pw, 1), feat.dtype).at[:ch, :cw].set(1.0)
+        pooled = nxt.reshape(ph // 2, 2, pw // 2, 2, c).sum(axis=(1, 3))
+        norm = cnt.reshape(ph // 2, 2, pw // 2, 2, 1).sum(axis=(1, 3))
+        cur = pooled / jnp.maximum(norm, 1.0)
+    row_offsets = jnp.asarray(
+        [0] + list(jnp.cumsum(jnp.asarray([l.shape[0] for l in levels]))[:-1]),
+        jnp.int32)
+    return Pyramid(
+        flat=jnp.concatenate(levels, axis=0),
+        row_offsets=row_offsets,
+        heights=jnp.asarray(heights, jnp.int32),
+        widths=jnp.asarray(widths, jnp.int32),
+        base_scale=spatial_scale,
+        num_scales=num_scales,
+    )
+
+
+def _sample_weights(coords: jnp.ndarray) -> jnp.ndarray:
+    """coords (N,) local window coords -> (N, WINDOW) bilinear weight rows."""
+    cells = jnp.arange(WINDOW, dtype=coords.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[:, None] - cells[None, :]))
+
+
+def _one_roi(pyr: Pyramid, roi: jnp.ndarray, g: int, s: int, mode: str):
+    """roi (4,) image coords -> (G, G, C) pooled features."""
+    f32 = jnp.float32
+    b = roi.astype(f32) * pyr.base_scale  # base-level cells
+    x1, y1, x2, y2 = b[0], b[1], b[2], b[3]
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+    span = jnp.maximum(bw, bh) / g  # cells per bin at base scale
+    lvl = jnp.clip(
+        jnp.floor(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32),
+        0, pyr.num_scales - 1)
+    cell = jnp.exp2(lvl.astype(f32))  # base cells per cell at lvl
+
+    hl = pyr.heights[lvl].astype(f32)
+    wl = pyr.widths[lvl].astype(f32)
+
+    # sample positions in lvl-cells, clamped to the valid map
+    off = (jnp.arange(g * s, dtype=f32) // s) + \
+        ((jnp.arange(g * s) % s).astype(f32) + 0.5) / s
+    sy = jnp.clip((y1 + off * bh / g) / cell, 0.0, hl - 1.0)
+    sx = jnp.clip((x1 + off * bw / g) / cell, 0.0, wl - 1.0)
+
+    y0 = jnp.clip(jnp.floor(sy[0]).astype(jnp.int32), 0,
+                  jnp.maximum(pyr.heights[lvl] - WINDOW, 0))
+    x0 = jnp.clip(jnp.floor(sx[0]).astype(jnp.int32), 0,
+                  jnp.maximum(pyr.widths[lvl] - WINDOW, 0))
+
+    wy = _sample_weights(jnp.clip(sy - y0.astype(f32), 0.0, WINDOW - 1.0))
+    wx = _sample_weights(jnp.clip(sx - x0.astype(f32), 0.0, WINDOW - 1.0))
+
+    row = pyr.row_offsets[lvl] + y0
+    win = lax.dynamic_slice(
+        pyr.flat, (row, x0, 0), (WINDOW, WINDOW, pyr.flat.shape[-1]))
+    win = win.astype(f32)
+
+    # V[i, j, c] = sum_y sum_x wy[i,y] win[y,x,c] wx[j,x]
+    t = jnp.einsum("iy,yxc->ixc", wy, win)
+    v = jnp.einsum("ixc,jx->ijc", t, wx)  # (G*S, G*S, C)
+    c = v.shape[-1]
+    v = v.reshape(g, s, g, s, c)
+    if mode == "avg":
+        return v.mean(axis=(1, 3))
+    if mode == "max":
+        return v.max(axis=(1, 3))
+    raise ValueError(f"mode must be avg|max, got {mode!r}")
+
+
+def pyramid_roi_align(pyr: Pyramid, rois: jnp.ndarray, *,
+                      output_size: int = 7, samples_per_bin: int = 2,
+                      mode: str = "avg") -> jnp.ndarray:
+    """rois (R, 4) image coords -> (R, G, G, C). vmapped static-window sampler."""
+    return jax.vmap(
+        lambda r: _one_roi(pyr, r, output_size, samples_per_bin, mode)
+    )(rois)
+
+
+def multilevel_foveal_pyramid_features(
+    pyramids: dict,          # {level_name: Pyramid}
+    rois: jnp.ndarray,       # (R, 4) image coords
+    *,
+    foveal_factors=(1.0, 1.5, 2.0, 4.0),
+    image_hw=None,
+    output_size: int = 7,
+    samples_per_bin: int = 2,
+    mode: str = "avg",
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.roi.multilevel_foveal_roi_features with
+    pyramid sampling: (F, R, G, G, sum_l C_l)."""
+    from multipathnet_tpu.ops import boxes as box_ops
+
+    out_per_f = []
+    for f in foveal_factors:
+        if image_hw is not None:
+            r = box_ops.expand(rois, f, image_hw[0], image_hw[1])
+        else:
+            r = box_ops.expand(rois, f)
+        pooled = [
+            pyramid_roi_align(pyr, r, output_size=output_size,
+                              samples_per_bin=samples_per_bin, mode=mode)
+            for pyr in pyramids.values()
+        ]
+        out_per_f.append(jnp.concatenate(pooled, axis=-1))
+    return jnp.stack(out_per_f, axis=0)

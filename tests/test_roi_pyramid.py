@@ -1,0 +1,98 @@
+"""Pyramid ROI align vs direct roi_align oracle (SURVEY.md §7.3 item 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from multipathnet_tpu.ops import roi as R
+from multipathnet_tpu.ops import roi_pyramid as RP
+
+RNG = np.random.default_rng(8)
+
+
+def make_feat(h=40, w=40, c=8):
+    return jnp.asarray(RNG.standard_normal((h, w, c)), jnp.float32)
+
+
+def test_level0_matches_roi_align_exactly():
+    """ROIs with bins spanning <=2 base cells select level 0 => identical
+    samples to direct roi_align."""
+    feat = make_feat()
+    scale = 1 / 16.0
+    pyr = RP.build_pyramid(feat, scale)
+    # bins span <= 2 cells: roi size <= 7*2 cells = 14 cells = 224 px
+    x1 = RNG.uniform(0, 300, 20).astype(np.float32)
+    y1 = RNG.uniform(0, 300, 20).astype(np.float32)
+    w = RNG.uniform(20, 220, 20).astype(np.float32)
+    h = RNG.uniform(20, 220, 20).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    got = RP.pyramid_roi_align(pyr, rois)
+    want = R.roi_align(feat, rois, output_size=7, spatial_scale=scale,
+                       samples_per_bin=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_large_roi_uses_pooled_level():
+    """A full-map ROI must select a coarse level and equal roi_align on the
+    equivalently avg-pooled map."""
+    feat = make_feat(64, 64, 4)
+    pyr = RP.build_pyramid(feat, 1.0)
+    roi = jnp.asarray([[0.0, 0.0, 56.0, 56.0]])  # span 8 cells/bin -> level 3
+    got = RP.pyramid_roi_align(pyr, roi)
+    pooled3 = feat.reshape(8, 8, 8, 8, 4).mean(axis=(1, 3))  # 2^3 avg pool
+    want = R.roi_align(pooled3, roi / 8.0, output_size=7, spatial_scale=1.0,
+                       samples_per_bin=2)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=2e-5)
+
+
+def test_border_and_degenerate_rois_finite():
+    feat = make_feat(24, 40, 8)
+    pyr = RP.build_pyramid(feat, 0.25)
+    rois = jnp.asarray([
+        [0, 0, 1, 1],             # tiny corner
+        [150, 90, 160, 96],       # at far edge (map is 160x96 px)
+        [-50, -50, 500, 500],     # way out of bounds
+        [0, 0, 0, 0],             # degenerate
+    ], jnp.float32)
+    out = np.asarray(RP.pyramid_roi_align(pyr, rois))
+    assert out.shape == (4, 7, 7, 8)
+    assert np.isfinite(out).all()
+
+
+def test_max_mode():
+    feat = make_feat(32, 32, 4)
+    pyr = RP.build_pyramid(feat, 1.0)
+    rois = jnp.asarray([[2.0, 2.0, 14.0, 14.0]])
+    mx = np.asarray(RP.pyramid_roi_align(pyr, rois, mode="max"))
+    av = np.asarray(RP.pyramid_roi_align(pyr, rois, mode="avg"))
+    assert np.all(mx >= av - 1e-5)
+    want = np.asarray(R.roi_align(feat, rois, output_size=7,
+                                  spatial_scale=1.0, mode="max"))
+    np.testing.assert_allclose(mx[0], want[0], atol=2e-5)
+
+
+def test_multilevel_foveal_wrapper_shapes():
+    feats = {"c3": make_feat(16, 16, 4), "c5": make_feat(4, 4, 8)}
+    pyrs = {k: RP.build_pyramid(v, s)
+            for (k, v), s in zip(feats.items(), (0.25, 0.0625))}
+    rois = jnp.asarray([[4, 4, 40, 40], [8, 2, 60, 30]], jnp.float32)
+    out = RP.multilevel_foveal_pyramid_features(
+        pyrs, rois, foveal_factors=(1.0, 2.0), image_hw=(64, 64))
+    assert out.shape == (2, 2, 7, 7, 12)
+    assert np.isfinite(np.asarray(out)).all()
+    # foveal slab 0 == plain concat of per-level pyramid pooling
+    direct = jnp.concatenate(
+        [RP.pyramid_roi_align(pyrs[k], rois) for k in ("c3", "c5")], axis=-1)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(direct),
+                               atol=1e-6)
+
+
+def test_pyramid_structure():
+    feat = make_feat(40, 40, 4)
+    pyr = RP.build_pyramid(feat, 1.0)
+    assert pyr.num_scales == RP.num_scales_for(40, 40)
+    # level 1 content = 2x avg pool of level 0
+    l1_rows = int(pyr.row_offsets[1])
+    l1 = np.asarray(pyr.flat[l1_rows:l1_rows + 20, :20])
+    want = np.asarray(feat).reshape(20, 2, 20, 2, 4).mean(axis=(1, 3))
+    np.testing.assert_allclose(l1, want, atol=1e-6)
