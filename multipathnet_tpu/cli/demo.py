@@ -63,6 +63,13 @@ def main(argv=None) -> None:
     p.add_argument("--image", default="", help="arbitrary image file instead")
     p.add_argument("--output", default="demo_out.png")
     p.add_argument("--score-threshold", type=float, default=0.3)
+    p.add_argument("--proposal-source", default="file",
+                   choices=("file", "sharpmask", "sliding"),
+                   help="file: precomputed .npz; sharpmask: run the on-TPU "
+                        "proposal net (config 5 e2e); sliding: dense grid")
+    p.add_argument("--proposal-checkpoint-dir", default="",
+                   help="SharpMask checkpoint (defaults to random init)")
+    p.add_argument("--top-proposals", type=int, default=128)
     args = p.parse_args(argv)
 
     cfg = common.build_config(args)
@@ -92,9 +99,40 @@ def main(argv=None) -> None:
         from PIL import Image
 
         image = np.asarray(Image.open(args.image).convert("RGB"), np.uint8)
-        boxes = sliding_window_proposals(*image.shape[:2])
     else:
         image = loader.load_image(args.index)
+
+    if args.proposal_source == "sharpmask":
+        # config-5 path: image -> on-TPU proposal net -> detector (§3.3)
+        import jax.numpy as jnp
+
+        from multipathnet_tpu.data.transforms import normalize
+        from multipathnet_tpu.models.sharpmask import generate_proposals
+        from multipathnet_tpu.train.proposal import ProposalTrainer
+
+        ptrainer = ProposalTrainer(cfg)
+        pstate = ptrainer.init_state()
+        if args.proposal_checkpoint_dir:
+            import os
+
+            from multipathnet_tpu.train.checkpoint import Checkpointer
+
+            restored = Checkpointer(os.path.join(
+                args.proposal_checkpoint_dir, "ckpt")).restore_latest(pstate)
+            if restored is not None:
+                pstate = restored
+                print(f"proposal net: restored step "
+                      f"{int(np.asarray(pstate.step))}")
+        x = jnp.asarray(normalize(jnp.asarray(image)))[None]
+        prop_out = generate_proposals(ptrainer.model, pstate.params, x,
+                                      top_k=args.top_proposals,
+                                      with_masks=False)
+        boxes = np.asarray(prop_out["boxes"][0])
+        print(f"sharpmask: {len(boxes)} proposals, "
+              f"top score {float(prop_out['scores'][0].max()):.3f}")
+    elif args.proposal_source == "sliding" or args.image:
+        boxes = sliding_window_proposals(*image.shape[:2])
+    else:
         boxes, _ = props.for_image_id(loader.image_id(args.index))
 
     h, w = image.shape[:2]

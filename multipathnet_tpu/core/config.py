@@ -31,6 +31,11 @@ class ModelConfig:
     integral_thresholds: Tuple[float, ...] = (0.50, 0.55, 0.60, 0.65, 0.70, 0.75)
     roi_output_size: int = 7  # ROI pooling output bins (Fast R-CNN: 7x7)
     roi_samples_per_bin: int = 2  # bilinear samples per bin axis (roi_align)
+    # ROI feature implementation for inference: "auto" (Pallas kernel on TPU,
+    # direct XLA elsewhere), "pallas", "pyramid" (XLA oracle of the kernel),
+    # "direct" (gather-based roi_align). Training always uses "direct" (the
+    # differentiable path; the kernel is forward-only).
+    roi_impl: str = "auto"
     fc_dim: int = 4096  # FC6/FC7 width (VGG-16 heads)
     dtype: str = "bfloat16"  # trunk compute dtype; heads/losses stay f32
     # bbox regression target normalization (Fast R-CNN §2.3 / BBoxNorm.lua)

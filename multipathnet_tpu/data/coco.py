@@ -78,14 +78,16 @@ class CocoLoader:
         classes = np.zeros((g,), np.int32)
         iscrowd = np.zeros((g,), bool)
         areas = np.zeros((g,), np.float32)
+        segs = []
         for k, a in enumerate(anns):
             x, y, w, h = a["bbox"]
             boxes[k] = (x, y, x + w, y + h)
             classes[k] = self.cat_to_label.get(a["category_id"], 0)
             iscrowd[k] = bool(a.get("iscrowd", 0))
             areas[k] = a.get("area", w * h)
+            segs.append(a.get("segmentation"))
         return {"boxes": boxes, "classes": classes, "iscrowd": iscrowd,
-                "areas": areas}
+                "areas": areas, "segmentations": segs}
 
 
 class NarrowLoader:

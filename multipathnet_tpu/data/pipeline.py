@@ -28,12 +28,15 @@ from multipathnet_tpu.train.loop import Batch
 class DetectionPipeline:
     def __init__(self, loader, proposals: ProposalStore, cfg: DataConfig,
                  batch_size: int, seed: int = 0,
-                 raw_hw: Optional[tuple] = None):
+                 raw_hw: Optional[tuple] = None,
+                 with_masks: bool = False, mask_size: int = 28):
         self.loader = loader
         self.proposals = proposals
         self.cfg = cfg
         self.batch_size = batch_size
         self.seed = seed
+        self.with_masks = with_masks
+        self.mask_size = mask_size
         if raw_hw is None:
             hs, ws = zip(*(loader.image_size(i) for i in range(len(loader))))
             raw_hw = (max(hs), max(ws))
@@ -56,7 +59,43 @@ class DetectionPipeline:
                             cfg.max_gt_per_image)
         gtc = pad_axis_to(ann["classes"][keep].astype(np.int32),
                           cfg.max_gt_per_image)
-        return img, np.array([h, w], np.float32), props, pmask, gtb, gtc, gmask
+        out = [img, np.array([h, w], np.float32), props, pmask, gtb, gtc,
+               gmask]
+        if self.with_masks:
+            out.append(self._gt_masks(ann, keep, h, w))
+        return tuple(out)
+
+    def _gt_masks(self, ann, keep, h, w) -> np.ndarray:
+        """Rasterize per-GT instance masks cropped to their box, resized to
+        (mask_size, mask_size) — mask-proposal training targets."""
+        from PIL import Image
+
+        from multipathnet_tpu.data import rle
+
+        m = self.mask_size
+        out = np.zeros((self.cfg.max_gt_per_image, m, m), np.float32)
+        segs = [s for s, k in zip(ann["segmentations"], keep) if k]
+        boxes = ann["boxes"][keep]
+        for gi, (seg, box) in enumerate(zip(segs, boxes)):
+            if gi >= out.shape[0]:
+                break
+            x1, y1, x2, y2 = (int(np.floor(box[0])), int(np.floor(box[1])),
+                              int(np.ceil(box[2])), int(np.ceil(box[3])))
+            x2, y2 = max(x2, x1 + 1), max(y2, y1 + 1)
+            if isinstance(seg, list) and seg:
+                full = rle.polys_to_mask(seg, h, w)
+            elif isinstance(seg, dict):
+                full = rle.decode(seg)
+            else:  # no segmentation: the box itself is the mask
+                full = np.zeros((h, w), np.uint8)
+                full[max(y1, 0):y2, max(x1, 0):x2] = 1
+            crop = full[max(y1, 0):y2, max(x1, 0):x2]
+            if crop.size == 0:
+                continue
+            img = Image.fromarray((crop * 255).astype(np.uint8))
+            out[gi] = np.asarray(img.resize((m, m), Image.BILINEAR),
+                                 np.float32) / 255.0
+        return out
 
     def _assemble(self, idxs) -> Batch:
         cols = list(zip(*(self._make_example(int(i)) for i in idxs)))

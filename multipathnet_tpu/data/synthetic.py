@@ -54,6 +54,28 @@ def _draw(img: np.ndarray, cls: int, x1, y1, x2, y2) -> None:
         img[y1i:y2i, x1i:x2i] = patch
 
 
+def _segmentation(cls: int, x1, y1, bw, bh) -> list:
+    """COCO polygon matching the drawn shape (GT for mask-proposal training)."""
+    x2, y2 = x1 + bw, y1 + bh
+    if cls % 4 == 1:  # ellipse -> 16-gon
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        t = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+        xs = cx + (bw / 2) * np.cos(t)
+        ys = cy + (bh / 2) * np.sin(t)
+        return [list(np.stack([xs, ys], -1).reshape(-1).astype(float))]
+    if cls % 4 == 2:  # cross: two bars
+        mx, my = (x1 + x2) / 2, (y1 + y2) / 2
+        tw, th = max(bw / 4, 1), max(bh / 4, 1)
+        v = [mx - tw / 2, y1, mx + tw / 2, y1, mx + tw / 2, y2,
+             mx - tw / 2, y2]
+        hz = [x1, my - th / 2, x2, my - th / 2, x2, my + th / 2,
+              x1, my + th / 2]
+        return [[float(x) for x in v], [float(x) for x in hz]]
+    # rect / stripes: the box itself
+    return [[float(x1), float(y1), float(x2), float(y1),
+             float(x2), float(y2), float(x1), float(y2)]]
+
+
 def generate(
     root: str,
     *,
@@ -103,6 +125,7 @@ def generate(
                 "bbox": [float(x1), float(y1), float(bw), float(bh)],
                 "area": float(bw * bh),
                 "iscrowd": 0,
+                "segmentation": _segmentation(cls, x1, y1, bw, bh),
             })
             ann_id += 1
         fname = f"{split}_{img_id}.png"

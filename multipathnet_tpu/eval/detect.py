@@ -49,7 +49,12 @@ def detect_batch(params, model: MultiPathNet, cfg: Config,
 
     feats = model.apply(params, canvases, method=MultiPathNet.features)
 
-    chunk = min(cfg.eval.roi_chunk, p)
+    # The Pallas ROI path streams fixed windows (no gather blowup), so it
+    # needs no SequentialSplitBatch-style chunking: one pass over all P.
+    impl = cfg.model.roi_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "direct"
+    chunk = p if impl == "pallas" else min(cfg.eval.roi_chunk, p)
     p_pad = _round_up(p, chunk)
     rois_p = jnp.pad(rois, ((0, 0), (0, p_pad - p), (0, 0)))
     n_chunks = p_pad // chunk

@@ -47,30 +47,92 @@ class MultiPathNet(nn.Module):
         return {l: feats[l] for l in self.cfg.skip_levels}
 
     def pool_rois(self, feats: dict, rois: jnp.ndarray,
-                  image_hw: tuple) -> jnp.ndarray:
+                  image_hw: tuple, train: bool = False) -> jnp.ndarray:
         """feats: level -> (B, Hl, Wl, C); rois (B, R, 4) image coords.
-        -> (B, F, R, G, G, C_concat)."""
-        strides = self.backbone.feature_strides
-        scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
+        -> (B, F, R, G, G, C_concat).
 
-        def one_image(f_b, r_b):
-            return roi_ops.multilevel_foveal_roi_features(
-                f_b, r_b, scales=scales,
-                foveal_factors=self.cfg.foveal_scales,
-                image_hw=image_hw,
-                output_size=self.cfg.roi_output_size,
-                samples_per_bin=self.cfg.roi_samples_per_bin,
-            )
-
+        Implementation per cfg.roi_impl (training pins "direct", the
+        differentiable path — the Pallas kernel is forward-only)."""
         import jax
 
+        impl = self.cfg.roi_impl
+        if train or impl == "direct":
+            impl = "direct"
+        elif impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "direct"
+
+        strides = self.backbone.feature_strides
+        scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
         feats_list = [feats[l] for l in self.cfg.skip_levels]
 
-        def wrapper(*args):
-            f_b = dict(zip(self.cfg.skip_levels, args[:-1]))
-            return one_image(f_b, args[-1])
+        if impl == "direct":
+            def wrapper(*args):
+                f_b = dict(zip(self.cfg.skip_levels, args[:-1]))
+                return roi_ops.multilevel_foveal_roi_features(
+                    f_b, args[-1], scales=scales,
+                    foveal_factors=self.cfg.foveal_scales,
+                    image_hw=image_hw,
+                    output_size=self.cfg.roi_output_size,
+                    samples_per_bin=self.cfg.roi_samples_per_bin,
+                )
 
-        return jax.vmap(wrapper)(*feats_list, rois)
+            return jax.vmap(wrapper)(*feats_list, rois)
+
+        from multipathnet_tpu.ops import boxes as box_ops
+        from multipathnet_tpu.ops import roi_pallas, roi_pyramid
+
+        if impl == "pyramid":  # XLA oracle of the kernel path
+            def wrapper(*args):
+                pyrs = {
+                    l: roi_pyramid.build_pyramid(
+                        f_b, scales[l], output_size=self.cfg.roi_output_size)
+                    for l, f_b in zip(self.cfg.skip_levels, args[:-1])
+                }
+                return roi_pyramid.multilevel_foveal_pyramid_features(
+                    pyrs, args[-1], foveal_factors=self.cfg.foveal_scales,
+                    image_hw=image_hw,
+                    output_size=self.cfg.roi_output_size,
+                    samples_per_bin=self.cfg.roi_samples_per_bin,
+                )
+
+            return jax.vmap(wrapper)(*feats_list, rois)
+
+        assert impl == "pallas", f"unknown roi_impl {impl!r}"
+        b, r = rois.shape[:2]
+        g = self.cfg.roi_output_size
+        nf = len(self.cfg.foveal_scales)
+        views = jnp.stack(
+            [box_ops.expand(rois, f, image_hw[0], image_hw[1])
+             for f in self.cfg.foveal_scales], axis=1)  # (B, F, R, 4)
+        vflat = views.reshape(-1, 4)
+        img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)
+        interp = jax.default_backend() != "tpu"
+        outs = []
+        for l in self.cfg.skip_levels:
+            c = feats[l].shape[-1]
+            if c % 128 != 0:
+                # Mosaic can't lane-merge sub-128 channel windows; such
+                # levels (e.g. ResNet-18 c3=64, test trunks) take the
+                # direct XLA path. Each level chooses independently.
+                def one(f_b, r_b, _l=l):
+                    return roi_ops.multilevel_foveal_roi_features(
+                        {_l: f_b}, r_b, scales={_l: scales[_l]},
+                        foveal_factors=self.cfg.foveal_scales,
+                        image_hw=image_hw, output_size=g,
+                        samples_per_bin=self.cfg.roi_samples_per_bin,
+                    )
+
+                pooled = jax.vmap(one)(feats[l], rois)  # (B, F, R, G, G, C)
+                outs.append(pooled.reshape(-1, g, g, c))
+                continue
+            flat_all, meta = roi_pyramid.build_pyramid_batch(
+                feats[l], scales[l], output_size=g)
+            outs.append(roi_pallas.batched_pyramid_pool(
+                flat_all, meta, vflat, img_idx, output_size=g,
+                samples_per_bin=self.cfg.roi_samples_per_bin,
+                interpret=interp))
+        out = jnp.concatenate(outs, axis=-1)
+        return out.reshape(b, nf, r, g, g, out.shape[-1])
 
     def predict_rois(self, pooled: jnp.ndarray, train: bool = False):
         """pooled (B, F, R, G, G, C) -> scores (B, R, K, C), deltas (B, R, D).
@@ -89,7 +151,7 @@ class MultiPathNet(nn.Module):
         bbox_deltas}. images (B,H,W,3); rois (B,R,4) padded image-coord boxes.
         """
         feats = self.features(images, train=train)
-        pooled = self.pool_rois(feats, rois, images.shape[1:3])
+        pooled = self.pool_rois(feats, rois, images.shape[1:3], train=train)
         return self.predict_rois(pooled, train=train)
 
 

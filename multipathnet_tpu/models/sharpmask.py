@@ -1,0 +1,148 @@
+"""SharpMask-style proposal generator — the reference's proposal source.
+
+The reference consumes DeepMask/SharpMask proposals from sibling repos (only
+demo.lua runs the generator itself — SURVEY.md §3.3; BASELINE.json config 5 is
+the end-to-end SharpMask -> MultiPath pipeline). This module is a TPU-native
+proposal network with the same capability surface:
+
+  - dense class-agnostic objectness over positions x anchor scales on the
+    shared trunk (DeepMask's sliding-window objectness, expressed as 1x1
+    convs — no image pyramid, multi-scale anchors instead: static shapes),
+  - box regression per anchor (proposals as boxes for the detector),
+  - a coarse mask head per top-K proposal + one top-down refinement stage
+    mixing in fine trunk features (the "Sharp" in SharpMask), giving
+    segmentation proposals like the reference's .t7 mask files,
+  - `generate(...)`: image -> top-K (boxes, scores, masks) fully on device,
+    ready to feed eval/detect.py.
+
+Everything is static-shaped: top-K via lax.top_k, masks decoded for exactly K
+proposals via the same windowed pyramid kernel machinery as the detector.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multipathnet_tpu.core.config import ModelConfig
+from multipathnet_tpu.models.backbones import get_backbone
+from multipathnet_tpu.ops import boxes as box_ops
+from multipathnet_tpu.ops import roi as roi_ops
+
+
+def anchor_boxes(h: int, w: int, stride: int,
+                 scales: Tuple[float, ...]) -> jnp.ndarray:
+    """(H*W*A, 4) square anchors centered on each stride-cell."""
+    ys = (jnp.arange(h) + 0.5) * stride
+    xs = (jnp.arange(w) + 0.5) * stride
+    cy, cx = jnp.meshgrid(ys, xs, indexing="ij")
+    centers = jnp.stack([cx, cy], -1).reshape(-1, 1, 2)  # (HW, 1, 2)
+    sizes = jnp.asarray(scales)[None, :, None]  # (1, A, 1)
+    half = jnp.broadcast_to(sizes / 2.0, (centers.shape[0], len(scales), 2))
+    c = jnp.broadcast_to(centers, half.shape)
+    return jnp.concatenate([c - half, c + half], -1).reshape(-1, 4)
+
+
+class SharpMaskNet(nn.Module):
+    """Trunk + dense objectness/box heads + refined mask decoder."""
+
+    cfg: ModelConfig
+    anchor_scales: Tuple[float, ...] = (48.0, 96.0, 192.0, 384.0)
+    neck_level: str = "c5"  # c4 for small canvases (denser anchor grid)
+    mask_size: int = 28
+    head_dim: int = 256
+
+    def setup(self):
+        dtype = jnp.dtype(self.cfg.dtype)
+        self.backbone = get_backbone(self.cfg.backbone, dtype)
+        self.neck = nn.Conv(self.head_dim, (3, 3), padding="SAME",
+                            dtype=dtype, name="neck")
+        a = len(self.anchor_scales)
+        self.score_head = nn.Conv(a, (1, 1), dtype=dtype, name="score")
+        self.box_head = nn.Conv(4 * a, (1, 1), dtype=dtype,
+                                kernel_init=nn.initializers.normal(1e-3),
+                                name="box")
+        # coarse mask decoder on ROI-pooled neck features (DeepMask head)
+        self.mask_fc = nn.Dense(self.mask_size * self.mask_size // 4,
+                                dtype=dtype, name="mask_fc")
+        # refinement: fuse fine trunk features (SharpMask top-down stage)
+        self.refine_conv = nn.Conv(8, (3, 3), padding="SAME", dtype=dtype,
+                                   name="refine_conv")
+        self.refine_out = nn.Conv(1, (3, 3), padding="SAME", dtype=dtype,
+                                  name="refine_out")
+
+    # -- dense heads ---------------------------------------------------------
+    def dense(self, images: jnp.ndarray, train: bool = False):
+        """images (B,H,W,3) -> (anchors (N,4), scores (B,N), deltas (B,N,4),
+        feats dict)."""
+        feats = self.backbone(images, train=train)
+        neck = nn.relu(self.neck(feats[self.neck_level]))
+        b, fh, fw, _ = neck.shape
+        stride = images.shape[1] // fh
+        anchors = anchor_boxes(fh, fw, stride, self.anchor_scales)
+        scores = self.score_head(neck).astype(jnp.float32).reshape(b, -1)
+        deltas = self.box_head(neck).astype(jnp.float32).reshape(b, -1, 4)
+        feats["neck"] = neck
+        return anchors, scores, deltas, feats
+
+    # -- mask decoding for given rois ----------------------------------------
+    def decode_masks(self, feats: dict, rois: jnp.ndarray,
+                     image_hw) -> jnp.ndarray:
+        """feats from dense(); rois (B, K, 4) -> mask logits (B, K, M, M)."""
+        m = self.mask_size
+        b, k = rois.shape[:2]
+        stride_neck = image_hw[0] // feats["neck"].shape[1]
+        stride_c3 = image_hw[0] // feats["c3"].shape[1]
+
+        def pool(fmap, r_b, stride, size):
+            return jax.vmap(lambda f, r: roi_ops.roi_align(
+                f, r, output_size=size, spatial_scale=1.0 / stride,
+                samples_per_bin=1))(fmap, r_b)
+
+        coarse_feat = pool(feats["neck"], rois, stride_neck, 7)
+        coarse = self.mask_fc(coarse_feat.reshape(b * k, -1))
+        half = self.mask_size // 2
+        coarse = coarse.reshape(b * k, half, half, 1)
+        coarse = jax.image.resize(coarse, (b * k, m, m, 1), "bilinear")
+        # refinement with fine features pooled at mask resolution
+        fine = pool(feats["c3"], rois, stride_c3, m)
+        fine = fine.reshape(b * k, m, m, -1)
+        r = nn.relu(self.refine_conv(fine))
+        out = self.refine_out(jnp.concatenate(
+            [coarse.astype(r.dtype), r], axis=-1))
+        return out.astype(jnp.float32).reshape(b, k, m, m)
+
+    def __call__(self, images: jnp.ndarray, rois: jnp.ndarray,
+                 train: bool = False):
+        """Training contract: dense heads everywhere + masks for given rois."""
+        anchors, scores, deltas, feats = self.dense(images, train=train)
+        masks = self.decode_masks(feats, rois, images.shape[1:3])
+        return anchors, scores, deltas, masks
+
+
+def generate_proposals(model: SharpMaskNet, params, images: jnp.ndarray,
+                       *, top_k: int = 256, with_masks: bool = True,
+                       score_activation=jax.nn.sigmoid):
+    """Jittable: images (B,H,W,3) normalized -> dict of top-K proposals.
+
+    boxes (B,K,4) decoded+clipped, scores (B,K), masks (B,K,M,M) sigmoid
+    logits (omitted when with_masks=False).
+    """
+    h, w = images.shape[1:3]
+    anchors, scores, deltas, feats = model.apply(
+        params, images, method=SharpMaskNet.dense)
+    s, idx = jax.lax.top_k(scores, top_k)  # (B, K)
+    sel_anchors = jnp.take(anchors, idx, axis=0)  # (B, K, 4)
+    sel_deltas = jnp.take_along_axis(deltas, idx[..., None], axis=1)
+    boxes = box_ops.clip(box_ops.decode(sel_anchors, sel_deltas,
+                                        stds=(0.1, 0.1, 0.2, 0.2)),
+                         float(h), float(w))
+    out = {"boxes": boxes, "scores": score_activation(s)}
+    if with_masks:
+        out["masks"] = jax.nn.sigmoid(
+            model.apply(params, feats, boxes, (h, w),
+                        method=SharpMaskNet.decode_masks))
+    return out

@@ -1,0 +1,197 @@
+"""Fused Pallas ROI kernel — pyramid window pooling at hardware speed.
+
+The production ROI feature path (SURVEY.md §2.2 row 1: the inn.ROIPooling
+CUDA kernel's TPU-native replacement). Same semantics as
+ops/roi_pyramid.pyramid_roi_align (its test oracle), but implemented as a
+Pallas kernel because both XLA formulations measured badly on the real v5e:
+per-sample gather 864ms, vmapped-dynamic-slice pyramid 340ms with a 729s
+compile (2026-08-16 profiles).
+
+Design (see pallas_guide.md patterns: double buffering, PrefetchScalarGridSpec):
+
+  host XLA (cheap, dense):  per (image, roi, foveal) view — pyramid scale
+      selection, window origin (row0, x0), and 7x16 bilinear weight rows with
+      the S-sample averaging FOLDED IN (avg pooling commutes with the linear
+      interpolation, so the sample axis disappears entirely).
+  kernel grid over view-tiles: double-buffered async DMA of each view's
+      (16, 16, C) window HBM->VMEM (the ONLY irregular access, expressed as
+      one strided DMA per view), then
+          m1 = Wy(7,16) @ win(16, 16C)          one MXU dot
+          out[i] = Wx(7,16) @ m1[i](16, C)      7 small MXU dots (no transpose)
+
+  Per view: ~2.6 MFLOP and 256KB of HBM traffic — vs the gather path's
+  hundreds of MB of scattered reads.
+
+Max-mode and gradients are not supported here (eval fast path); training and
+max-mode use the XLA implementations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multipathnet_tpu.ops.roi_pyramid import WINDOW, WINDOW_X, Pyramid
+
+
+def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
+                  samples_per_bin: int = 2):
+    """Vectorized scale selection + window origins + folded bilinear weights.
+
+    rois (N, 4) image coords -> row0 (N,) int32 absolute pyramid row,
+    x0 (N,) int32, wy (N, G, 16) f32, wx (N, G, 16) f32.
+    Mirrors roi_pyramid._one_roi exactly (shared constants, tested equal).
+    """
+    g, s = output_size, samples_per_bin
+    f32 = jnp.float32
+    b = rois.astype(f32) * pyr.base_scale
+    x1, y1 = b[:, 0], b[:, 1]
+    bw = jnp.maximum(b[:, 2] - x1, 1e-6)
+    bh = jnp.maximum(b[:, 3] - y1, 1e-6)
+    span = jnp.maximum(bw, bh) / g
+    lvl = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32),
+                   0, pyr.num_scales - 1)
+    cell = jnp.exp2(lvl.astype(f32))
+    hl = pyr.heights[lvl].astype(f32)
+    wl = pyr.widths[lvl].astype(f32)
+
+    off = (jnp.arange(g * s, dtype=f32) // s) + \
+        ((jnp.arange(g * s) % s).astype(f32) + 0.5) / s
+    sy = jnp.clip((y1[:, None] + off * bh[:, None] / g) / cell[:, None],
+                  0.0, (hl - 1.0)[:, None])
+    sx = jnp.clip((x1[:, None] + off * bw[:, None] / g) / cell[:, None],
+                  0.0, (wl - 1.0)[:, None])
+
+    y0 = jnp.clip(jnp.floor(sy[:, 0]).astype(jnp.int32), 0,
+                  jnp.maximum(pyr.heights[lvl] - WINDOW, 0))
+    # x window: 8-aligned start (HBM DMA sublane constraint), 24 cols wide
+    wmax = pyr.flat.shape[1]
+    x0 = jnp.clip(jnp.floor(sx[:, 0]).astype(jnp.int32), 0,
+                  jnp.maximum(pyr.widths[lvl] - WINDOW, 0))
+    x0 = jnp.minimum((x0 // 8) * 8, wmax - WINDOW_X)
+
+    cells_y = jnp.arange(WINDOW, dtype=f32)
+    cells_x = jnp.arange(WINDOW_X, dtype=f32)
+    ly = jnp.clip(sy - y0[:, None].astype(f32), 0.0, WINDOW - 1.0)
+    lx = jnp.clip(sx - x0[:, None].astype(f32), 0.0, WINDOW_X - 1.0)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly[:, :, None] - cells_y))  # (N,GS,16)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx[:, :, None] - cells_x))  # (N,GS,24)
+    # fold the S-sample average into the weights (linearity of bilinear)
+    n = rois.shape[0]
+    wy = wy.reshape(n, g, s, WINDOW).mean(axis=2)
+    wx = wx.reshape(n, g, s, WINDOW_X).mean(axis=2)
+
+    row0 = pyr.row_offsets[lvl] + y0
+    return row0, x0, wy, wx
+
+
+def _window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, flat_ref, out_ref,
+                        win, sems, *, tile: int, g: int):
+    """Grid step: DMA `tile` windows (double buffered), two-stage matmul."""
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    c = flat_ref.shape[-1]
+
+    def dma(step, slot, t):
+        v = step * tile + t
+        return pltpu.make_async_copy(
+            flat_ref.at[pl.ds(row0_ref[v], WINDOW),
+                        pl.ds(pl.multiple_of(x0_ref[v], 8), WINDOW_X), :],
+            win.at[slot, t],
+            sems.at[slot, t],
+        )
+
+    def start_all(step, slot):
+        for t in range(tile):
+            dma(step, slot, t).start()
+
+    @pl.when(i == 0)
+    def _():
+        start_all(0, 0)
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        start_all(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    for t in range(tile):
+        dma(i, slot, t).wait()
+        w = win[slot, t]                              # (16, 24, C) bf16
+        wy = wy_ref[t].astype(w.dtype)                # (G, 16)
+        wx = wx_ref[t].astype(jnp.float32)            # (G, 24)
+        m1 = jax.lax.dot_general(
+            wy, w.reshape(WINDOW, WINDOW_X * c),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, WINDOW_X, c)                     # (G, 24, C) f32
+        for gi in range(g):
+            out_ref[t, gi] = jax.lax.dot_general(
+                wx, m1[gi],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)                   # (G, C)
+
+
+def pallas_window_pool(flat: jnp.ndarray, row0: jnp.ndarray, x0: jnp.ndarray,
+                       wy: jnp.ndarray, wx: jnp.ndarray, *,
+                       tile: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """flat (rows, Wmax, C); row0/x0 (N,); wy/wx (N, G, 16) -> (N, G, G, C).
+
+    N is padded to a multiple of `tile` internally.
+    """
+    n, g = wy.shape[:2]
+    c = flat.shape[-1]
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        pad = n_pad - n
+        row0 = jnp.pad(row0, (0, pad))
+        x0 = jnp.pad(x0, (0, pad))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+
+    grid = (n_pad // tile,)
+    out = pl.pallas_call(
+        partial(_window_pool_kernel, tile=tile, g=g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, x0 in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, g, WINDOW), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((tile, g, WINDOW_X), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),  # pyramid stays in HBM
+            ],
+            out_specs=pl.BlockSpec((tile, g, g, c), lambda i, *_: (i, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile, WINDOW, WINDOW_X, c), flat.dtype),
+                pltpu.SemaphoreType.DMA((2, tile)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, g, g, c), flat.dtype),
+        interpret=interpret,
+    )(row0.astype(jnp.int32), x0.astype(jnp.int32),
+      wy.astype(jnp.float32), wx.astype(jnp.float32), flat)
+    return out[:n]
+
+
+def batched_pyramid_pool(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
+                         rois_views: jnp.ndarray, img_idx: jnp.ndarray, *,
+                         output_size: int = 7, samples_per_bin: int = 2,
+                         tile: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """Pool N roi-views against a batch of pyramids stacked along rows.
+
+    flat_batch: (B * rows_per_image, Wmax, C) — B per-image pyramids
+    concatenated on axis 0; pyr_meta: ONE image's Pyramid (offsets/heights/
+    widths/base_scale); img_idx (N,) int32 selects each view's image.
+    Returns (N, G, G, C).
+    """
+    rows_per_image = pyr_meta.flat.shape[0]
+    row0, x0, wy, wx = view_geometry(
+        pyr_meta, rois_views, output_size=output_size,
+        samples_per_bin=samples_per_bin)
+    return pallas_window_pool(
+        flat_batch, row0 + img_idx.astype(jnp.int32) * rows_per_image, x0,
+        wy, wx, tile=tile, interpret=interpret)

@@ -41,6 +41,10 @@ import jax.numpy as jnp
 from jax import lax
 
 WINDOW = 16  # window cells per side; holds any ROI whose bins span <= 2 cells
+# The Pallas kernel's x-window: HBM DMA slices must start 8-aligned on the
+# sublane (x) dim, so the kernel aligns x0 down to 8 and reads 24 columns
+# (16 + up to 7 alignment slack). Pyramid buffers are padded accordingly.
+WINDOW_X = 24
 
 
 class Pyramid(NamedTuple):
@@ -66,7 +70,7 @@ def build_pyramid(feat: jnp.ndarray, spatial_scale: float,
     h, w, c = feat.shape
     if num_scales is None:
         num_scales = num_scales_for(h, w, output_size)
-    wmax = max(w, WINDOW)
+    wmax = max(-(-w // 8) * 8, WINDOW_X)
     levels, heights, widths = [], [], []
     cur = feat
     for _ in range(num_scales):
@@ -95,6 +99,26 @@ def build_pyramid(feat: jnp.ndarray, spatial_scale: float,
         base_scale=spatial_scale,
         num_scales=num_scales,
     )
+
+
+def build_pyramid_batch(feats: jnp.ndarray, spatial_scale: float,
+                        num_scales: int | None = None,
+                        output_size: int = 7):
+    """feats (B, H, W, C) -> (flat_batch (B*rows, Wmax, C), meta Pyramid).
+
+    meta describes ONE image's pyramid (static fields stay Python ints —
+    plain vmap over build_pyramid would try to batch them).
+    """
+    b, h, w, _ = feats.shape
+    if num_scales is None:
+        num_scales = num_scales_for(h, w, output_size)
+    flat_b = jax.vmap(
+        lambda x: build_pyramid(x, spatial_scale, num_scales, output_size).flat
+    )(feats)
+    meta = build_pyramid(feats[0], spatial_scale, num_scales, output_size)
+    meta = Pyramid(flat_b[0], meta.row_offsets, meta.heights, meta.widths,
+                   spatial_scale, num_scales)
+    return flat_b.reshape(b * flat_b.shape[1], *flat_b.shape[2:]), meta
 
 
 def _sample_weights(coords: jnp.ndarray) -> jnp.ndarray:

@@ -53,6 +53,7 @@ class Batch(NamedTuple):
     gt_boxes: jnp.ndarray   # (B, G, 4) f32, original image coords
     gt_classes: jnp.ndarray  # (B, G) int32
     gt_mask: jnp.ndarray    # (B, G) bool
+    gt_masks: Any = None    # (B, G, M, M) f32 instance masks (proposal training)
 
 
 def _freeze_mask(params, n_frozen_stages: int):

@@ -1,0 +1,150 @@
+"""SharpMask proposal-network training: losses + jitted DP step.
+
+DeepMask/SharpMask trained jointly on (objectness, mask) pairs from windows
+centered on objects (paper arXiv:1506.06204 / 1603.08695 — sibling repos of
+the reference, SURVEY.md §0). TPU-native reformulation on dense anchors:
+
+  - objectness: sigmoid BCE per anchor; positives = IoU >= 0.5 with any GT
+    (plus the best anchor per GT so every object owns one), negatives
+    IoU < 0.3, in-between ignored; pos/neg balanced by reweighting (no
+    sampling loop — masked means, SPMD-friendly).
+  - boxes: smooth-L1 on positives against the matched GT (anchor-relative
+    Fast R-CNN deltas).
+  - masks: BCE of decoded mask logits for GT-box ROIs vs rasterized instance
+    masks (data/pipeline.py provides the (G, M, M) targets).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multipathnet_tpu.core.config import Config
+from multipathnet_tpu.core.mesh import DATA_AXIS, make_mesh
+from multipathnet_tpu.data import transforms
+from multipathnet_tpu.models.sharpmask import SharpMaskNet
+from multipathnet_tpu.ops import boxes as box_ops
+from multipathnet_tpu.train.losses import smooth_l1
+from multipathnet_tpu.train.loop import Batch, TrainState
+from multipathnet_tpu.train.schedule import make_optimizer
+
+
+def sharpmask_loss(anchors, scores, deltas, mask_logits, gt_boxes,
+                   gt_mask, gt_masks, *,
+                   pos_iou=0.5, neg_iou=0.3,
+                   bbox_reg_stds=(0.1, 0.1, 0.2, 0.2)):
+    """Per-batch proposal losses. Shapes: anchors (N,4); scores (B,N);
+    deltas (B,N,4); mask_logits (B,G,M,M); gt_boxes (B,G,4); gt_mask (B,G);
+    gt_masks (B,G,M,M)."""
+    iou = box_ops.iou_matrix(anchors[None], gt_boxes)      # (B, N, G)
+    iou = jnp.where(gt_mask[:, None, :], iou, -1.0)
+    best_iou = iou.max(-1)                                  # (B, N)
+    best_gt = iou.argmax(-1)                                # (B, N)
+
+    pos = best_iou >= pos_iou
+    # every valid GT claims its best anchor
+    best_anchor = jnp.argmax(iou, axis=1)                   # (B, G)
+    claim = jax.nn.one_hot(best_anchor, anchors.shape[0],
+                           dtype=bool, axis=1)              # (B, N, G)
+    pos = pos | (claim & gt_mask[:, None, :]).any(-1)
+    neg = (best_iou < neg_iou) & ~pos
+
+    labels = pos.astype(jnp.float32)
+    bce = optax.sigmoid_binary_cross_entropy(scores, labels)
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    n_neg = jnp.maximum(neg.sum(), 1.0)
+    obj_loss = ((bce * pos).sum() / n_pos + (bce * neg).sum() / n_neg) / 2.0
+
+    matched = jnp.take_along_axis(gt_boxes, best_gt[..., None], axis=1)
+    targets = box_ops.encode(anchors[None], matched, stds=bbox_reg_stds)
+    box_loss = (smooth_l1(deltas - targets).sum(-1) * pos).sum() / n_pos
+
+    mask_bce = optax.sigmoid_binary_cross_entropy(mask_logits, gt_masks)
+    g_valid = gt_mask.astype(jnp.float32)[..., None, None]
+    mask_loss = (mask_bce * g_valid).sum() / jnp.maximum(
+        g_valid.sum() * mask_logits.shape[-1] ** 2, 1.0)
+
+    total = obj_loss + box_loss + mask_loss
+    return total, {
+        "loss": total, "loss_obj": obj_loss, "loss_box": box_loss,
+        "loss_mask": mask_loss, "num_pos_anchors": pos.sum(),
+    }
+
+
+def make_proposal_train_step(model: SharpMaskNet, cfg: Config, tx):
+    d = cfg.data
+
+    def step(state: TrainState, batch: Batch):
+        key, k_drop = jax.random.split(state.key)
+        canvases, scales = transforms.batch_resize_to_canvas(
+            batch.images, d.image_size, batch.src_hws)
+        gt_boxes = batch.gt_boxes * scales[:, None, None]
+
+        def loss_fn(params):
+            anchors, scores, deltas, mask_logits = model.apply(
+                params, canvases, gt_boxes, train=True,
+                rngs={"dropout": k_drop})
+            return sharpmask_loss(
+                anchors, scores, deltas, mask_logits, gt_boxes,
+                batch.gt_mask, batch.gt_masks)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state, key), metrics
+
+    return step
+
+
+class ProposalTrainer:
+    """Trainer for the proposal network (mirrors train.loop.Trainer)."""
+
+    def __init__(self, cfg: Config, mesh=None, anchor_scales=None,
+                 neck_level: str | None = None):
+        self.cfg = cfg
+        size = min(cfg.data.image_size)
+        if anchor_scales is None:
+            # canvas-relative anchor sizes (objects span ~10-80% of images)
+            anchor_scales = tuple(round(size * f, 1)
+                                  for f in (0.12, 0.25, 0.5, 0.8))
+        if neck_level is None:
+            neck_level = "c4" if size < 256 else "c5"
+        self.model = SharpMaskNet(cfg=cfg.model, anchor_scales=anchor_scales,
+                                  neck_level=neck_level)
+        self.tx, self.lr_schedule = make_optimizer(cfg.train)
+        if mesh is None:
+            n = len(jax.devices())
+            while cfg.train.batch_size % n:
+                n -= 1
+            mesh = make_mesh(n_data=n)
+        self.mesh = mesh
+        self._repl = NamedSharding(self.mesh, P())
+        self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._step = jax.jit(
+            make_proposal_train_step(self.model, cfg, self.tx),
+            in_shardings=(self._repl, self._batch_sh),
+            out_shardings=(self._repl, self._repl),
+            donate_argnums=(0,),
+        )
+
+    def init_state(self, seed: int | None = None) -> TrainState:
+        cfg = self.cfg
+        seed = cfg.train.seed if seed is None else seed
+        images = jnp.zeros((1, *cfg.data.image_size, 3), jnp.float32)
+        rois = jnp.asarray([[[0, 0, 32, 32]]], jnp.float32)
+        params = self.model.init(jax.random.key(seed), images, rois)
+        state = TrainState(jnp.zeros((), jnp.int32), params,
+                           self.tx.init(params), jax.random.key(seed + 1))
+        return jax.device_put(state, self._repl)
+
+    def step(self, state: TrainState, batch: Batch):
+        """One step; `state` is DONATED (see Trainer.step warning)."""
+        batch = jax.device_put(batch, self._batch_sh)
+        return self._step(state, batch)
