@@ -1,0 +1,119 @@
+"""Trunk parity vs torch-CPU (SURVEY.md §4: oracle tests against torch).
+
+Builds the exact VGG-16 conv stack in torch (random weights), imports the
+state dict through models/import_weights.py, and checks our flax trunk's
+c3/c4/c5 outputs match torch's to f32 tolerance. This validates (a) the
+weight layout conversion (the pretrained-import contract), (b) conv padding/
+pooling semantics vs the reference framework family.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from multipathnet_tpu.models import import_weights as IW
+from multipathnet_tpu.models.backbones.vgg import VGG16
+
+
+def build_torch_vgg16():
+    """The torchvision vgg16 'features' stack (torchvision itself is not
+    installed; indices/architecture mirror it exactly)."""
+    import torch.nn as nn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512]
+    layers, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(in_ch, v, 3, padding=1))
+            layers.append(nn.ReLU(inplace=False))
+            in_ch = v
+    return nn.Sequential(*layers)
+
+
+def torch_taps(model, x):
+    """Run and capture conv3_3/conv4_3/conv5_3 post-ReLU outputs."""
+    taps = {}
+    # indices in our Sequential: convs at 0,2, 5,7, 10,12,14, 17,19,21, 24,26,28
+    # with ReLU right after; pools at 4, 9, 16, 23
+    tap_after = {16: "c3", 23: "c4", 30: "c5"}  # fire once the relu has run
+    h = x
+    for i, layer in enumerate(model):
+        h = layer(h)
+        if i + 1 in tap_after:
+            taps[tap_after[i + 1]] = h
+    return taps
+
+
+def test_vgg16_matches_torch():
+    tmodel = build_torch_vgg16().eval()
+    # state dict in torchvision naming
+    state = {}
+    conv_i = 0
+    for i, layer in enumerate(tmodel):
+        if isinstance(layer, torch.nn.Conv2d):
+            state[f"features.{IW.VGG16_TORCH_INDICES[conv_i]}.weight"] = \
+                layer.weight.detach().numpy()
+            state[f"features.{IW.VGG16_TORCH_INDICES[conv_i]}.bias"] = \
+                layer.bias.detach().numpy()
+            conv_i += 1
+    assert conv_i == 13
+
+    x = np.random.default_rng(0).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = {k: v.numpy() for k, v in
+                torch_taps(tmodel, torch.from_numpy(x)).items()}
+
+    flax_params = IW.vgg16_params_from_state_dict(state)
+    model = VGG16(dtype=jnp.float32)
+    import jax
+
+    init = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    full = IW.install_backbone_params({"params": {"backbone": init["params"]}},
+                                      flax_params)
+    feats = model.apply({"params": full["params"]["backbone"]},
+                        jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    for lvl in ("c3", "c4", "c5"):
+        got = np.transpose(np.asarray(feats[lvl]), (0, 3, 1, 2))  # NHWC->NCHW
+        np.testing.assert_allclose(got, want[lvl], atol=2e-4,
+                                   err_msg=f"level {lvl}")
+
+
+def test_roi_align_matches_torch_grid_sample_oracle():
+    """Cross-check bilinear sampling math against torch.grid_sample on a
+    single-sample-per-bin config (identical sampling points)."""
+    import jax
+
+    from multipathnet_tpu.ops import roi as R
+
+    rng = np.random.default_rng(1)
+    h, w, c = 16, 16, 4
+    feat = rng.standard_normal((h, w, c)).astype(np.float32)
+    roi = np.array([[8.0, 4.0, 56.0, 44.0]], np.float32)  # img coords, /4 scale
+    g, scale = 5, 0.25
+
+    got = np.asarray(R.roi_align(jnp.asarray(feat), jnp.asarray(roi),
+                                 output_size=g, spatial_scale=scale,
+                                 samples_per_bin=1))[0]
+
+    # torch oracle: grid_sample at the same sample coordinates
+    x1, y1, x2, y2 = roi[0] * scale
+    bw, bh = (x2 - x1) / g, (y2 - y1) / g
+    ys = y1 + (np.arange(g) + 0.5) * bh
+    xs = x1 + (np.arange(g) + 0.5) * bw
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    # grid_sample align_corners=False maps [-1,1] to pixel edges; convert
+    # pixel-center coords p to normalized: (2p + 1)/size - 1
+    norm = np.stack([(2 * gx + 1) / w - 1, (2 * gy + 1) / h - 1], -1)
+    t_feat = torch.from_numpy(np.transpose(feat, (2, 0, 1))[None])
+    t_grid = torch.from_numpy(norm[None].astype(np.float32))
+    with torch.no_grad():
+        want = torch.nn.functional.grid_sample(
+            t_feat, t_grid, mode="bilinear", align_corners=False,
+            padding_mode="border").numpy()[0]
+    want = np.transpose(want, (1, 2, 0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
