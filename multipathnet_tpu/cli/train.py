@@ -68,7 +68,7 @@ def main(argv=None) -> None:
     if args.resume:
         restored = ckpt.restore_latest(state)
         if restored is not None:
-            state = restored
+            state = trainer.shard_state(restored)
             print(f"resumed from step {int(np.asarray(restored.step))}")
         else:
             print("no checkpoint found; starting fresh")

@@ -65,3 +65,36 @@ class MeshRules:
         """Replicated params (DP). Future TP: route FC kernels to fc_kernel."""
         s = NamedSharding(self.mesh, self.replicated)
         return jax.tree_util.tree_map(lambda _: s, params)
+
+    # -- tensor parallelism over the "model" axis -----------------------------
+    def tree_sharding(self, tree):
+        """Megatron-style TP rules applied by tree path (works for params AND
+        optimizer state, whose momentum subtree mirrors param names):
+
+          fc6_f* kernel  -> P(None, "model")   column-parallel
+          fc6_f* bias    -> P("model")
+          fc7_f* kernel  -> P("model", None)   row-parallel (psum output)
+          everything else replicated
+
+        With a model axis of size 1 this degrades to pure replication; the
+        train step code never changes (SURVEY.md §2.3 TP row: the mesh axis
+        is reserved so FC heads *can* shard without train-loop changes).
+        """
+        n_model = self.mesh.shape[MODEL_AXIS]
+
+        def rule(path, leaf):
+            names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+            if n_model > 1 and getattr(leaf, "ndim", 0) >= 1:
+                in_fc6 = any(n.startswith("fc6_f") for n in names)
+                in_fc7 = any(n.startswith("fc7_f") for n in names)
+                is_kernel = names[-1] == "kernel"
+                is_bias = names[-1] == "bias"
+                if in_fc6 and is_kernel and leaf.ndim == 2:
+                    return NamedSharding(self.mesh, P(None, MODEL_AXIS))
+                if in_fc6 and is_bias and leaf.ndim == 1:
+                    return NamedSharding(self.mesh, P(MODEL_AXIS))
+                if in_fc7 and is_kernel and leaf.ndim == 2:
+                    return NamedSharding(self.mesh, P(MODEL_AXIS, None))
+            return NamedSharding(self.mesh, P())
+
+        return jax.tree_util.tree_map_with_path(rule, tree)

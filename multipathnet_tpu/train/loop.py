@@ -27,7 +27,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multipathnet_tpu.core.config import Config
-from multipathnet_tpu.core.mesh import DATA_AXIS, make_mesh
+from multipathnet_tpu.core.mesh import DATA_AXIS, MeshRules, make_mesh
 from multipathnet_tpu.data import sampler as sampler_lib
 from multipathnet_tpu.data import transforms
 from multipathnet_tpu.models.multipath import MultiPathNet, build_model
@@ -155,13 +155,21 @@ class Trainer:
                 n -= 1
             mesh = make_mesh(n_data=n)
         self.mesh = mesh
+        self.rules = MeshRules(mesh)
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
-        step = make_train_step(self.model, cfg, self.tx)
+        # state shardings: TP rules on param/momentum leaves when the mesh
+        # has a model axis > 1, replication otherwise (core/mesh.py)
+        self._state_sh: Any = None  # built lazily from the state structure
+        self._step_fn = make_train_step(self.model, cfg, self.tx)
+        self._step = None
+
+    def _build_step(self, state: TrainState):
+        self._state_sh = self.rules.tree_sharding(state)
         self._step = jax.jit(
-            step,
-            in_shardings=(self._repl, self._batch_sh),
-            out_shardings=(self._repl, self._repl),
+            self._step_fn,
+            in_shardings=(self._state_sh, self._batch_sh),
+            out_shardings=(self._state_sh, self._repl),
             donate_argnums=(0,),
         )
 
@@ -175,10 +183,17 @@ class Trainer:
         opt_state = self.tx.init(params)
         state = TrainState(jnp.zeros((), jnp.int32), params, opt_state,
                            jax.random.key(seed + 1))
-        return jax.device_put(state, self._repl)
+        if self._step is None:
+            self._build_step(state)
+        return jax.device_put(state, self._state_sh)
 
     def shard_batch(self, batch: Batch) -> Batch:
         return jax.device_put(batch, self._batch_sh)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Re-lay a (restored, host-resident) TrainState onto the mesh."""
+        assert self._state_sh is not None, "call init_state() first"
+        return jax.device_put(state, self._state_sh)
 
     def step(self, state: TrainState, batch: Batch):
         """One optimizer step. WARNING: `state` is DONATED — its buffers are
@@ -186,4 +201,5 @@ class Trainer:
         tests won't catch reuse). Always rebind: `state, m = trainer.step(state,
         batch)`. Snapshot with `jax.tree.map(jnp.copy, state)` if you must keep
         the pre-step state (e.g. compare two branches)."""
+        assert self._step is not None, "call init_state() first"
         return self._step(state, self.shard_batch(batch))
