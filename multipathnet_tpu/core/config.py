@@ -33,9 +33,12 @@ class ModelConfig:
     roi_samples_per_bin: int = 2  # bilinear samples per bin axis (roi_align)
     # ROI feature implementation for inference: "auto" (Pallas kernel on TPU,
     # direct XLA elsewhere), "pallas", "pyramid" (XLA oracle of the kernel),
-    # "direct" (gather-based roi_align). Training always uses "direct" (the
-    # differentiable path; the kernel is forward-only).
+    # "direct" (gather-based roi_align).
     roi_impl: str = "auto"
+    # Training-path implementation: "auto" = Pallas forward + windowed
+    # scatter-add backward (custom VJP) on TPU, direct XLA elsewhere;
+    # or "direct" / "pallas" explicitly.
+    train_roi_impl: str = "auto"
     fc_dim: int = 4096  # FC6/FC7 width (VGG-16 heads)
     dtype: str = "bfloat16"  # trunk compute dtype; heads/losses stay f32
     # bbox regression target normalization (Fast R-CNN §2.3 / BBoxNorm.lua)

@@ -46,6 +46,22 @@ class ProposalStore:
         return self.for_index(self._by_id[int(image_id)])
 
     @classmethod
+    def from_mask_proposals(cls, per_image_rles, per_image_scores, image_ids):
+        """Ingest DeepMask/SharpMask-style segmentation proposals: lists of
+        COCO RLE dicts per image -> tight boxes via the (native) RLE codec
+        (SURVEY.md §2.2 'Loading DeepMask proposals (RLE->boxes)')."""
+        from multipathnet_tpu.data import rle as rle_codec
+
+        per_image_boxes = []
+        for rles in per_image_rles:
+            boxes = np.zeros((len(rles), 4), np.float32)
+            for i, r in enumerate(rles):
+                x, y, w, h = rle_codec.to_bbox(r)
+                boxes[i] = (x, y, x + w, y + h)
+            per_image_boxes.append(boxes)
+        return cls.from_lists(per_image_boxes, per_image_scores, image_ids)
+
+    @classmethod
     def from_lists(cls, per_image_boxes, per_image_scores, image_ids):
         offsets = np.zeros(len(image_ids) + 1, np.int64)
         for i, b in enumerate(per_image_boxes):

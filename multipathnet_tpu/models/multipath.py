@@ -55,11 +55,11 @@ class MultiPathNet(nn.Module):
         differentiable path — the Pallas kernel is forward-only)."""
         import jax
 
-        impl = self.cfg.roi_impl
-        if train or impl == "direct":
-            impl = "direct"
-        elif impl == "auto":
+        impl = self.cfg.train_roi_impl if train else self.cfg.roi_impl
+        if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "direct"
+        if train and impl == "pyramid":
+            impl = "direct"  # vmapped-slice path: pathological compile
 
         strides = self.backbone.feature_strides
         scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
@@ -130,7 +130,7 @@ class MultiPathNet(nn.Module):
             outs.append(roi_pallas.batched_pyramid_pool(
                 flat_all, meta, vflat, img_idx, output_size=g,
                 samples_per_bin=self.cfg.roi_samples_per_bin,
-                interpret=interp))
+                interpret=interp, trainable=train))
         out = jnp.concatenate(outs, axis=-1)
         return out.reshape(b, nf, r, g, g, out.shape[-1])
 

@@ -177,10 +177,53 @@ def pallas_window_pool(flat: jnp.ndarray, row0: jnp.ndarray, x0: jnp.ndarray,
     return out[:n]
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def window_pool_trainable(flat, row0, x0, wy, wx, tile=8, interpret=False):
+    """Differentiable window pooling: Pallas forward + windowed scatter-add
+    backward. Grads flow to `flat` only (row0/x0/wy/wx derive from ROI
+    coordinates, which are data, not parameters)."""
+    return pallas_window_pool(flat, row0, x0, wy, wx, tile=tile,
+                              interpret=interpret)
+
+
+def _wpt_fwd(flat, row0, x0, wy, wx, tile, interpret):
+    out = pallas_window_pool(flat, row0, x0, wy, wx, tile=tile,
+                             interpret=interpret)
+    # zero-stub residual carries flat's shape/dtype (dtype objects are not
+    # JAX types; a broadcast zeros array is free under XLA)
+    stub = jnp.broadcast_to(jnp.zeros((), flat.dtype), flat.shape)
+    return out, (stub, row0, x0, wy, wx)
+
+
+def _wpt_bwd(tile, interpret, res, g):
+    stub, row0, x0, wy, wx = res
+    shape, dtype = stub.shape, stub.dtype
+    # window gradient: gwin[n] = Wy[n]^T @ g[n] @ Wx[n]  -> (N, 16, 24, C)
+    g = g.astype(jnp.float32)
+    m = jnp.einsum("ngy,nghc->nyhc", wy, g)          # (N, 16, G, C)
+    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)       # (N, 16, 24, C)
+    idx = jnp.stack([row0, x0], axis=-1).astype(jnp.int32)  # (N, 2)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    g_flat = jax.lax.scatter_add(
+        jnp.zeros(shape, jnp.float32), idx, gwin, dnums,
+        indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).astype(dtype)
+    return g_flat, None, None, None, None
+
+
+window_pool_trainable.defvjp(_wpt_fwd, _wpt_bwd)
+
+
 def batched_pyramid_pool(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
                          rois_views: jnp.ndarray, img_idx: jnp.ndarray, *,
                          output_size: int = 7, samples_per_bin: int = 2,
-                         tile: int = 8, interpret: bool = False) -> jnp.ndarray:
+                         tile: int = 8, interpret: bool = False,
+                         trainable: bool = False) -> jnp.ndarray:
     """Pool N roi-views against a batch of pyramids stacked along rows.
 
     flat_batch: (B * rows_per_image, Wmax, C) — B per-image pyramids
@@ -192,6 +235,9 @@ def batched_pyramid_pool(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
     row0, x0, wy, wx = view_geometry(
         pyr_meta, rois_views, output_size=output_size,
         samples_per_bin=samples_per_bin)
-    return pallas_window_pool(
-        flat_batch, row0 + img_idx.astype(jnp.int32) * rows_per_image, x0,
-        wy, wx, tile=tile, interpret=interpret)
+    row0 = row0 + img_idx.astype(jnp.int32) * rows_per_image
+    if trainable:
+        return window_pool_trainable(flat_batch, row0, x0, wy, wx, tile,
+                                     interpret)
+    return pallas_window_pool(flat_batch, row0, x0, wy, wx, tile=tile,
+                              interpret=interpret)

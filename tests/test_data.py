@@ -90,3 +90,22 @@ def test_generator_deterministic(tmp_path):
     b = synthetic.generate(str(tmp_path / "b"), num_images=2, seed=7)
     pa, pb = ProposalStore.load(a["proposals"]), ProposalStore.load(b["proposals"])
     np.testing.assert_array_equal(pa.boxes, pb.boxes)
+
+
+def test_proposals_from_mask_rles():
+    from multipathnet_tpu.data import rle
+
+    m1 = np.zeros((32, 32), np.uint8)
+    m1[4:12, 6:20] = 1
+    m2 = np.zeros((32, 32), np.uint8)
+    m2[10:30, 2:8] = 1
+    ps = ProposalStore.from_mask_proposals(
+        [[rle.encode(m1), rle.encode(m2)], [rle.encode(m1)]],
+        [np.asarray([0.9, 0.7], np.float32), np.asarray([0.5], np.float32)],
+        [101, 102])
+    b, s = ps.for_image_id(101)
+    np.testing.assert_allclose(b[0], [6, 4, 20, 12])
+    np.testing.assert_allclose(b[1], [2, 10, 8, 30])
+    np.testing.assert_allclose(s, [0.9, 0.7])
+    b2, _ = ps.for_image_id(102)
+    np.testing.assert_allclose(b2[0], [6, 4, 20, 12])

@@ -1,0 +1,87 @@
+"""Gradient correctness of the trainable window-pool (custom VJP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from multipathnet_tpu.ops import roi_pallas as RK
+from multipathnet_tpu.ops import roi_pyramid as RP
+
+RNG = np.random.default_rng(17)
+
+
+def _case(n=5):
+    feat = jnp.asarray(RNG.standard_normal((16, 24, 8)), jnp.float32)
+    pyr = RP.build_pyramid(feat, 0.5)
+    x1 = RNG.uniform(0, 20, n).astype(np.float32)
+    y1 = RNG.uniform(0, 14, n).astype(np.float32)
+    w = RNG.uniform(4, 26, n).astype(np.float32)
+    h = RNG.uniform(4, 16, n).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    geo = RK.view_geometry(pyr, rois)
+    return pyr.flat, geo
+
+
+def test_trainable_grad_matches_xla_equivalent():
+    flat, (row0, x0, wy, wx) = _case()
+    n = row0.shape[0]
+    cot = jnp.asarray(RNG.standard_normal((n, 7, 7, 8)), jnp.float32)
+
+    def xla_equiv(f):
+        outs = [
+            jnp.einsum("iy,yxc,jx->ijc", wy[v],
+                       lax.dynamic_slice(f, (row0[v], x0[v], 0),
+                                         (RP.WINDOW, RP.WINDOW_X, f.shape[-1])),
+                       wx[v])
+            for v in range(n)
+        ]
+        return jnp.stack(outs)
+
+    def loss_ref(f):
+        return (xla_equiv(f) * cot).sum()
+
+    def loss_kernel(f):
+        out = RK.window_pool_trainable(f, row0, x0, wy, wx, 2, True)
+        return (out.astype(jnp.float32) * cot).sum()
+
+    # forward agreement
+    np.testing.assert_allclose(
+        np.asarray(RK.window_pool_trainable(flat, row0, x0, wy, wx, 2, True)),
+        np.asarray(xla_equiv(flat)), atol=1e-4)
+    # gradient agreement (incl. overlapping windows accumulating)
+    g_ref = np.asarray(jax.grad(loss_ref)(flat))
+    g_ker = np.asarray(jax.grad(loss_kernel)(flat))
+    np.testing.assert_allclose(g_ker, g_ref, atol=1e-3, rtol=1e-4)
+    assert np.abs(g_ker).sum() > 0
+
+
+def test_trainable_train_step_runs_with_pallas_impl():
+    """Tiny model trains one step with train_roi_impl='pallas' (interpret)."""
+    import dataclasses
+
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.models.multipath import build_model
+    from multipathnet_tpu.train.losses import detection_loss
+    from multipathnet_tpu.data import sampler as S
+
+    cfg = preset("tiny")
+    mc = dataclasses.replace(cfg.model, num_classes=5,
+                             train_roi_impl="pallas")
+    model = build_model(mc)
+    images = jnp.asarray(RNG.standard_normal((1, 64, 64, 3)), jnp.float32)
+    rois = jnp.asarray([[[4, 4, 30, 30], [8, 8, 40, 44]]], jnp.float32)
+    params = model.init(jax.random.key(0), images, rois)
+
+    def loss_fn(p):
+        scores, deltas = model.apply(p, images, rois, train=True,
+                                     rngs={"dropout": jax.random.key(1)})
+        return (scores.sum() + deltas.sum()).astype(jnp.float32)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # trunk receives gradient THROUGH the pallas pooling custom VJP
+    trunk_g = sum(float(jnp.abs(l).sum()) for l in
+                  jax.tree_util.tree_leaves(g["params"]["backbone"]))
+    assert trunk_g > 0, "no gradient reached the backbone"
