@@ -47,25 +47,6 @@ class MeshRules:
     def replicated(self) -> P:
         return P()
 
-    @property
-    def fc_kernel(self) -> P:
-        """FC head kernels: shard output features over the model axis."""
-        return P(None, MODEL_AXIS)
-
-    # -- NamedShardings ------------------------------------------------------
-    def shard_batch(self, tree):
-        s = NamedSharding(self.mesh, self.batch)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
-
-    def replicate(self, tree):
-        s = NamedSharding(self.mesh, self.replicated)
-        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
-
-    def params_sharding(self, params):
-        """Replicated params (DP). Future TP: route FC kernels to fc_kernel."""
-        s = NamedSharding(self.mesh, self.replicated)
-        return jax.tree_util.tree_map(lambda _: s, params)
-
     # -- tensor parallelism over the "model" axis -----------------------------
     def tree_sharding(self, tree):
         """Megatron-style TP rules applied by tree path (works for params AND

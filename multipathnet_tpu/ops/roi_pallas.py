@@ -53,7 +53,8 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
     bw = jnp.maximum(b[:, 2] - x1, 1e-6)
     bh = jnp.maximum(b[:, 3] - y1, 1e-6)
     span = jnp.maximum(bw, bh) / g
-    lvl = jnp.clip(jnp.floor(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32),
+    # bins span (0.5, 1] cell at the chosen scale (roi_pyramid.WINDOW note)
+    lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32),
                    0, pyr.num_scales - 1)
     cell = jnp.exp2(lvl.astype(f32))
     hl = pyr.heights[lvl].astype(f32)
@@ -68,10 +69,10 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
 
     y0 = jnp.clip(jnp.floor(sy[:, 0]).astype(jnp.int32), 0,
                   jnp.maximum(pyr.heights[lvl] - WINDOW, 0))
-    # x window: 8-aligned start (HBM DMA sublane constraint), 24 cols wide
+    # x window: 8-aligned start (HBM DMA sublane constraint), 16 cols wide
     wmax = pyr.flat.shape[1]
     x0 = jnp.clip(jnp.floor(sx[:, 0]).astype(jnp.int32), 0,
-                  jnp.maximum(pyr.widths[lvl] - WINDOW, 0))
+                  jnp.maximum(pyr.widths[lvl] - (WINDOW_X - 7), 0))
     x0 = jnp.minimum((x0 // 8) * 8, wmax - WINDOW_X)
 
     cells_y = jnp.arange(WINDOW, dtype=f32)

@@ -87,11 +87,12 @@ def test_model_pallas_impl_matches_pyramid_impl():
     mk = lambda impl: dataclasses.replace(cfg.model, num_classes=5,
                                           roi_impl=impl)
     images = jnp.asarray(RNG.standard_normal((2, 64, 64, 3)), jnp.float32)
-    # small ROIs: even the 4x foveal view spans <= 2 cells/bin at c3, so
-    # pyramid level 0 is chosen everywhere and 'pallas' (which falls back to
-    # 'direct' for sub-128-channel test trunks), 'pyramid', and 'direct' all
-    # compute identical samples
-    rois = jnp.asarray([[[4, 4, 16, 16], [22, 20, 34, 33]]] * 2, jnp.float32)
+    # small ROIs: even the 4x foveal view spans <= 1 cell/bin at c3
+    # (4x * 7px <= 7 cells * 4px stride), so pyramid level 0 is chosen
+    # everywhere and 'pallas' (which falls back to 'direct' for
+    # sub-128-channel test trunks), 'pyramid', and 'direct' all compute
+    # identical samples
+    rois = jnp.asarray([[[4, 4, 11, 10], [22, 20, 29, 26]]] * 2, jnp.float32)
 
     m_pal = build_model(mk("pallas"))
     params = m_pal.init(jax.random.key(0), images, rois)

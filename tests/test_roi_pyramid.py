@@ -14,16 +14,16 @@ def make_feat(h=40, w=40, c=8):
 
 
 def test_level0_matches_roi_align_exactly():
-    """ROIs with bins spanning <=2 base cells select level 0 => identical
+    """ROIs with bins spanning <=1 base cell select level 0 => identical
     samples to direct roi_align."""
     feat = make_feat()
     scale = 1 / 16.0
     pyr = RP.build_pyramid(feat, scale)
-    # bins span <= 2 cells: roi size <= 7*2 cells = 14 cells = 224 px
+    # bins span <= 1 cell: roi size <= 7 cells = 112 px
     x1 = RNG.uniform(0, 300, 20).astype(np.float32)
     y1 = RNG.uniform(0, 300, 20).astype(np.float32)
-    w = RNG.uniform(20, 220, 20).astype(np.float32)
-    h = RNG.uniform(20, 220, 20).astype(np.float32)
+    w = RNG.uniform(20, 110, 20).astype(np.float32)
+    h = RNG.uniform(20, 110, 20).astype(np.float32)
     rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
     got = RP.pyramid_roi_align(pyr, rois)
     want = R.roi_align(feat, rois, output_size=7, spatial_scale=scale,
@@ -62,7 +62,7 @@ def test_border_and_degenerate_rois_finite():
 def test_max_mode():
     feat = make_feat(32, 32, 4)
     pyr = RP.build_pyramid(feat, 1.0)
-    rois = jnp.asarray([[2.0, 2.0, 14.0, 14.0]])
+    rois = jnp.asarray([[2.0, 2.0, 9.0, 8.0]])  # span <= 7 cells -> level 0
     mx = np.asarray(RP.pyramid_roi_align(pyr, rois, mode="max"))
     av = np.asarray(RP.pyramid_roi_align(pyr, rois, mode="avg"))
     assert np.all(mx >= av - 1e-5)
