@@ -166,9 +166,12 @@ class ConcatLoader:
 
 
 def make_split(dataset_root: str, split: str,
-               annotations: Optional[str] = None):
+               annotations: Optional[str] = None,
+               val_take: int = 35000, minival: int = 5000):
     """The reference's split convention (SURVEY.md §0, §2.1):
-    trainval35k = train2014 + first 35k of val2014; minival5k = last 5k."""
+    trainval35k = train2014 + first 35k of val2014; minival5k = last 5k.
+    val_take/minival are parameters so the convention is testable on small
+    fixtures."""
     def ann(name):
         return annotations or os.path.join(
             dataset_root, "annotations", f"instances_{name}.json")
@@ -181,8 +184,8 @@ def make_split(dataset_root: str, split: str,
     if split == "trainval35k":
         train = CocoLoader(ann("train2014"), imgs("train2014"))
         val = CocoLoader(ann("val2014"), imgs("val2014"))
-        return ConcatLoader([train, NarrowLoader(val, 0, 35000)])
+        return ConcatLoader([train, NarrowLoader(val, 0, val_take)])
     if split == "minival5k":
         val = CocoLoader(ann("val2014"), imgs("val2014"))
-        return NarrowLoader(val, len(val) - 5000, 5000)
+        return NarrowLoader(val, len(val) - minival, minival)
     raise KeyError(f"unknown split {split!r}")

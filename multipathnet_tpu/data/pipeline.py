@@ -29,7 +29,8 @@ class DetectionPipeline:
     def __init__(self, loader, proposals: ProposalStore, cfg: DataConfig,
                  batch_size: int, seed: int = 0,
                  raw_hw: Optional[tuple] = None,
-                 with_masks: bool = False, mask_size: int = 28):
+                 with_masks: bool = False, mask_size: int = 28,
+                 num_workers: int = 2):
         self.loader = loader
         self.proposals = proposals
         self.cfg = cfg
@@ -37,6 +38,13 @@ class DetectionPipeline:
         self.seed = seed
         self.with_masks = with_masks
         self.mask_size = mask_size
+        # decode worker pool (the reference's nDonkeys analog); 0 = inline
+        self._pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=num_workers,
+                                            thread_name_prefix="decode")
         if raw_hw is None:
             hs, ws = zip(*(loader.image_size(i) for i in range(len(loader))))
             raw_hw = (max(hs), max(ws))
@@ -98,8 +106,12 @@ class DetectionPipeline:
         return out
 
     def _assemble(self, idxs) -> Batch:
-        cols = list(zip(*(self._make_example(int(i)) for i in idxs)))
-        stack = [np.stack(c) for c in cols]
+        ints = [int(i) for i in idxs]
+        if self._pool is not None:
+            examples = list(self._pool.map(self._make_example, ints))
+        else:
+            examples = [self._make_example(i) for i in ints]
+        stack = [np.stack(c) for c in zip(*examples)]
         return Batch(*stack)
 
     def epoch(self, epoch_idx: int) -> Iterator[Batch]:

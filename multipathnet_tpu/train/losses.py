@@ -52,11 +52,10 @@ def detection_loss(
     fg = (sample.is_fg & sample.valid).astype(jnp.float32)
     if class_specific_bbox:
         d = deltas.reshape(b, s, num_classes, 4)
-        cls_idx = sample.matched_class  # (B, S)
-        d = jnp.take_along_axis(
-            d, cls_idx[..., None, None].astype(jnp.int32).clip(0) *
-            jnp.ones((1, 1, 1, 4), jnp.int32), axis=2
-        )[:, :, 0, :]
+        idx = jnp.broadcast_to(
+            sample.matched_class[..., None, None].astype(jnp.int32),
+            (b, s, 1, 4))
+        d = jnp.take_along_axis(d, idx, axis=2)[:, :, 0, :]
     else:
         d = deltas
     reg = smooth_l1(d - sample.bbox_targets).sum(-1)  # (B, S)

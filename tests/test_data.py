@@ -109,3 +109,28 @@ def test_proposals_from_mask_rles():
     np.testing.assert_allclose(s, [0.9, 0.7])
     b2, _ = ps.for_image_id(102)
     np.testing.assert_allclose(b2[0], [6, 4, 20, 12])
+
+
+def test_make_split_convention(tmp_path):
+    """trainval35k/minival5k composition logic on a small fixture."""
+    import os
+
+    from multipathnet_tpu.data.coco import make_split
+
+    root = str(tmp_path)
+    synthetic.generate(root, num_images=6, image_size=32, split="train2014",
+                       seed=1)
+    synthetic.generate(root, num_images=5, image_size=32, split="val2014",
+                       seed=2)
+    tv = make_split(root, "trainval35k", val_take=3, minival=2)
+    mv = make_split(root, "minival5k", val_take=3, minival=2)
+    assert len(tv) == 6 + 3
+    assert len(mv) == 2
+    val = make_split(root, "val2014")
+    # minival is the LAST 2 of val2014; trainval tail is the FIRST 3
+    assert mv.image_id(0) == val.image_id(3)
+    assert tv.image_id(6) == val.image_id(0)
+    # no overlap between trainval35k's val part and minival
+    tv_val_ids = {tv.image_id(6 + i) for i in range(3)}
+    mv_ids = {mv.image_id(i) for i in range(2)}
+    assert not (tv_val_ids & mv_ids)
