@@ -32,13 +32,37 @@ def sliding_window_proposals(h: int, w: int, n: int = 256) -> np.ndarray:
 
 
 def draw_detections(image: np.ndarray, dets: dict, class_names,
-                    score_threshold: float = 0.3) -> "object":
+                    score_threshold: float = 0.3,
+                    proposal_masks: np.ndarray | None = None) -> "object":
+    """Render boxes (+ instance masks when sharpmask proposals provide them —
+    the detection `indices` give each detection's source proposal)."""
     from PIL import Image, ImageDraw
 
     img = Image.fromarray(image).convert("RGB")
-    dr = ImageDraw.Draw(img)
     palette = [(230, 60, 60), (60, 200, 90), (70, 100, 240), (240, 200, 40),
                (200, 80, 220), (60, 210, 210)]
+    if proposal_masks is not None and "indices" in dets:
+        overlay = np.asarray(img, np.float32)
+        for box, score, cls, src, ok in zip(
+                dets["boxes"], dets["scores"], dets["classes"],
+                dets["indices"], dets["valid"]):
+            if not ok or score < score_threshold or \
+                    int(src) >= len(proposal_masks):
+                continue  # padded proposal slots have no mask
+            x1, y1 = int(max(box[0], 0)), int(max(box[1], 0))
+            x2 = int(min(box[2], image.shape[1]))
+            y2 = int(min(box[3], image.shape[0]))
+            if x2 <= x1 or y2 <= y1:
+                continue
+            m = Image.fromarray(
+                (proposal_masks[int(src)] * 255).astype(np.uint8))
+            m = np.asarray(m.resize((x2 - x1, y2 - y1)), np.float32) / 255.0
+            color = np.asarray(palette[int(cls) % len(palette)], np.float32)
+            region = overlay[y1:y2, x1:x2]
+            a = (m > 0.5)[..., None] * 0.45
+            overlay[y1:y2, x1:x2] = region * (1 - a) + color * a
+        img = Image.fromarray(overlay.astype(np.uint8))
+    dr = ImageDraw.Draw(img)
     n = 0
     for box, score, cls, ok in zip(dets["boxes"], dets["scores"],
                                    dets["classes"], dets["valid"]):
@@ -126,14 +150,17 @@ def main(argv=None) -> None:
         x = jnp.asarray(normalize(jnp.asarray(image)))[None]
         prop_out = generate_proposals(ptrainer.model, pstate.params, x,
                                       top_k=args.top_proposals,
-                                      with_masks=False)
+                                      with_masks=True)
         boxes = np.asarray(prop_out["boxes"][0])
-        print(f"sharpmask: {len(boxes)} proposals, "
+        proposal_masks = np.asarray(prop_out["masks"][0])
+        print(f"sharpmask: {len(boxes)} proposals (+masks), "
               f"top score {float(prop_out['scores'][0].max()):.3f}")
     elif args.proposal_source == "sliding" or args.image:
         boxes = sliding_window_proposals(*image.shape[:2])
+        proposal_masks = None
     else:
         boxes, _ = props.for_image_id(loader.image_id(args.index))
+        proposal_masks = None
 
     h, w = image.shape[:2]
     pb, pm = pad_to(boxes.astype(np.float32), cfg.data.max_proposals)
@@ -141,8 +168,11 @@ def main(argv=None) -> None:
     out = det(image[None], np.asarray([[h, w]], np.float32),
               pb[None], pm[None])
     dets = {k: v[0] for k, v in out.items()}
+    # detections whose source proposal index exceeds the real proposal count
+    # (padded slots) can't be valid; masks map by source index
     img, n = draw_detections(image, dets, loader.category_names,
-                             args.score_threshold)
+                             args.score_threshold,
+                             proposal_masks=proposal_masks)
     img.save(args.output)
     kept = int(dets["valid"].sum())
     print(f"{kept} detections ({n} above {args.score_threshold}); "

@@ -74,11 +74,17 @@ class CocoEvaluator:
     """
 
     def __init__(self, iou_thrs=IOU_THRS, rec_thrs=REC_THRS,
-                 area_ranges=None, max_dets=MAX_DETS, iou_fn=None):
+                 area_ranges=None, max_dets=MAX_DETS, iou_fn=None,
+                 mode: str = "bbox"):
+        """mode="segm" matches on mask IoU ("segmentation" RLE dicts on both
+        GT and detections) — the COCO segmentation-challenge protocol the
+        reference competed under (SURVEY.md §0)."""
         self.iou_thrs = np.asarray(iou_thrs, np.float64)
         self.rec_thrs = np.asarray(rec_thrs, np.float64)
         self.area_ranges = dict(area_ranges or AREA_RANGES)
         self.max_dets = tuple(sorted(max_dets))
+        assert mode in ("bbox", "segm"), mode
+        self.mode = mode
         self.iou_fn = iou_fn or box_iou_xywh
 
     # -- per (image, category) matching ------------------------------------
@@ -111,11 +117,19 @@ class CocoEvaluator:
         g_ignore = g_ignore[g_order]
         iscrowd = np.array([bool(g.get("iscrowd", False)) for g in gts], bool)
 
-        ious = self.iou_fn(
-            np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4),
-            np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4),
-            iscrowd,
-        )
+        if self.mode == "segm":
+            from multipathnet_tpu.data import rle as rle_codec
+
+            ious = rle_codec.iou(
+                [d["segmentation"] for d in dts],
+                [g["segmentation"] for g in gts], iscrowd.tolist(),
+            ) if dts and gts else np.zeros((len(dts), len(gts)))
+        else:
+            ious = self.iou_fn(
+                np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4),
+                np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4),
+                iscrowd,
+            )
 
         d_n, g_n = len(dts), len(gts)
         dt_match = np.zeros((t_n, d_n), np.int64)  # 1 + matched gt index, 0 = none
@@ -140,7 +154,14 @@ class CocoEvaluator:
                 gt_match[ti, m] = di + 1
                 dt_ignore[ti, di] = g_ignore[m]
         # unmatched detections outside the area range are ignored, not FPs
-        d_area = np.array([d["bbox"][2] * d["bbox"][3] for d in dts], np.float64)
+        if self.mode == "segm":
+            from multipathnet_tpu.data import rle as rle_codec
+
+            d_area = np.array([rle_codec.area(d["segmentation"])
+                               for d in dts], np.float64)
+        else:
+            d_area = np.array([d["bbox"][2] * d["bbox"][3] for d in dts],
+                              np.float64)
         d_out = (d_area < area_rng[0]) | (d_area >= area_rng[1])
         dt_ignore |= (dt_match == 0) & d_out[None, :]
         return {

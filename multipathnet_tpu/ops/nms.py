@@ -100,16 +100,22 @@ def multiclass_nms(
     kept_b = jnp.take_along_axis(cls_boxes, idx[..., None], axis=1)
     kept_c = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[:, None], (c, k))
 
+    # provenance: each kept candidate's source proposal index (lets callers
+    # attach per-proposal payloads — e.g. segmentation masks — to detections)
+    kept_src = jnp.take_along_axis(top_i, idx, axis=1)  # (C, k)
+
     # global top max_detections across (C * k) candidates
     flat_s = kept_s.reshape(-1)
     flat_b = kept_b.reshape(-1, 4)
     flat_c = kept_c.reshape(-1)
+    flat_src = kept_src.reshape(-1)
     d = min(max_detections, flat_s.shape[0])
     fs, fi = lax.top_k(flat_s, d)
     out = {
         "boxes": flat_b[fi],
         "scores": fs,
         "classes": flat_c[fi],
+        "indices": flat_src[fi].astype(jnp.int32),
         "valid": fs > _NEG / 2,
     }
     if d < max_detections:
@@ -118,6 +124,7 @@ def multiclass_nms(
             "boxes": jnp.pad(out["boxes"], ((0, pad), (0, 0))),
             "scores": jnp.pad(out["scores"], (0, pad), constant_values=_NEG),
             "classes": jnp.pad(out["classes"], (0, pad)),
+            "indices": jnp.pad(out["indices"], (0, pad)),
             "valid": jnp.pad(out["valid"], (0, pad)),
         }
     out["scores"] = jnp.where(out["valid"], out["scores"], 0.0)
