@@ -87,9 +87,9 @@ def resolve_data(args, cfg: Config):
                 proposals_per_image=min(cfg.data.max_proposals, 64),
                 split=args.split, seed=cfg.train.seed)
         loader = CocoLoader(marker, os.path.join(root, args.split))
-        props = ProposalStore.load(
-            os.path.join(root, f"proposals_{args.split}.npz"))
-        return loader, props
+        prop_path = args.proposals or os.path.join(
+            root, f"proposals_{args.split}.npz")
+        return loader, ProposalStore.load(prop_path)
 
     if not root:
         raise SystemExit("--dataset-root required (or use --synthetic)")

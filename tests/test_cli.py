@@ -94,3 +94,39 @@ def test_config_override_errors():
     assert cfg.train.lr == 0.5
     assert cfg.model.foveal_scales == (1.0, 2.0)
     assert cfg.data.image_size == (32, 32)
+
+
+def test_export_proposals_cli_and_override(workdir, capsys):
+    from multipathnet_tpu.cli import export_proposals as ep_cli
+    from multipathnet_tpu.cli import eval as eval_cli
+    import json
+
+    out_npz = str(workdir / "gen_props.npz")
+    ep_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--output", out_npz, "--top-k", "8", "--batch-size", "4",
+    ])
+    assert os.path.exists(out_npz)
+    from multipathnet_tpu.data.proposals import ProposalStore
+
+    ps = ProposalStore.load(out_npz)
+    assert len(ps) == 16
+    b, s = ps.for_index(0)
+    assert b.shape == (8, 4)
+
+    # --proposals must override the synthetic default
+    eval_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--proposals", out_npz,
+        "--checkpoint-dir", str(workdir / "run1"), "--json",
+    ])
+    m_gen = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    eval_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--checkpoint-dir", str(workdir / "run1"), "--json",
+    ])
+    m_file = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m_gen != m_file  # different proposal sources -> different APs
