@@ -110,27 +110,21 @@ class MultiPathNet(nn.Module):
         outs = []
         for l in self.cfg.skip_levels:
             c = feats[l].shape[-1]
-            if c % 128 != 0:
-                # Mosaic can't lane-merge sub-128 channel windows; such
-                # levels (e.g. ResNet-18 c3=64, test trunks) take the
-                # direct XLA path. Each level chooses independently.
-                def one(f_b, r_b, _l=l):
-                    return roi_ops.multilevel_foveal_roi_features(
-                        {_l: f_b}, r_b, scales={_l: scales[_l]},
-                        foveal_factors=self.cfg.foveal_scales,
-                        image_hw=image_hw, output_size=g,
-                        samples_per_bin=self.cfg.roi_samples_per_bin,
-                    )
-
-                pooled = jax.vmap(one)(feats[l], rois)  # (B, F, R, G, G, C)
-                outs.append(pooled.reshape(-1, g, g, c))
-                continue
+            # Mosaic can't lane-merge sub-128-channel windows: pad such
+            # levels (ResNet-18 c3=64, test trunks) up to the lane width —
+            # 2x DMA for that level still beats the 20x-slower XLA gather.
+            pad_c = (-c) % 128
+            lvl_feats = feats[l]
+            if pad_c:
+                lvl_feats = jnp.pad(
+                    lvl_feats, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
             flat_all, meta = roi_pyramid.build_pyramid_batch(
-                feats[l], scales[l], output_size=g)
-            outs.append(roi_pallas.batched_pyramid_pool(
+                lvl_feats, scales[l], output_size=g)
+            pooled = roi_pallas.batched_pyramid_pool(
                 flat_all, meta, vflat, img_idx, output_size=g,
                 samples_per_bin=self.cfg.roi_samples_per_bin,
-                interpret=interp, trainable=train))
+                interpret=interp, trainable=train)
+            outs.append(pooled[..., :c])
         out = jnp.concatenate(outs, axis=-1)
         return out.reshape(b, nf, r, g, g, out.shape[-1])
 
