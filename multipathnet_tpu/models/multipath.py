@@ -113,7 +113,9 @@ class MultiPathNet(nn.Module):
             # Mosaic can't lane-merge sub-128-channel windows: pad such
             # levels (ResNet-18 c3=64, test trunks) up to the lane width —
             # 2x DMA for that level still beats the 20x-slower XLA gather.
-            pad_c = (-c) % 128
+            # Interpret mode (CPU tests) has no lane constraint; skip the
+            # 16x blowup there (tests/test_roi_pallas.py covers padding).
+            pad_c = 0 if interp else (-c) % 128
             lvl_feats = feats[l]
             if pad_c:
                 lvl_feats = jnp.pad(

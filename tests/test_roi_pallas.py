@@ -103,3 +103,21 @@ def test_model_pallas_impl_matches_pyramid_impl():
                                atol=5e-3)
     np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_pyr),
                                atol=5e-3)
+
+
+def test_channel_padding_preserves_values():
+    """Sub-128-channel levels are zero-padded on lanes for the TPU kernel;
+    padding must not change pooled values for the real channels."""
+    feat = jnp.asarray(RNG.standard_normal((1, 16, 24, 8)), jnp.float32)
+    rois = jnp.asarray([[2, 2, 30, 20], [4, 0, 44, 30]], jnp.float32)
+    img_idx = jnp.zeros(2, jnp.int32)
+    flat, meta = RP.build_pyramid_batch(feat, 0.5)
+    base = RK.batched_pyramid_pool(flat, meta, rois, img_idx, tile=2,
+                                   interpret=True)
+    padded = jnp.pad(feat, ((0, 0), (0, 0), (0, 0), (0, 120)))
+    flat_p, meta_p = RP.build_pyramid_batch(padded, 0.5)
+    pooled_p = RK.batched_pyramid_pool(flat_p, meta_p, rois, img_idx, tile=2,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(pooled_p[..., :8]),
+                               np.asarray(base), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pooled_p[..., 8:]), 0.0, atol=1e-6)
