@@ -155,6 +155,16 @@ class Trainer:
                 n -= 1
             mesh = make_mesh(n_data=n)
         self.mesh = mesh
+        # the mesh may live on CPU devices while the default backend is TPU
+        # (dryrun_multichip); Pallas kernels can't compile there — pin the
+        # differentiable XLA path for non-TPU meshes
+        platform = next(iter(mesh.devices.flat)).platform
+        if platform != "tpu":
+            import dataclasses as _dc
+
+            self.cfg = cfg = cfg.replace(model=_dc.replace(
+                cfg.model, roi_impl="direct", train_roi_impl="direct"))
+            self.model = build_model(cfg.model)
         self.rules = MeshRules(mesh)
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))
