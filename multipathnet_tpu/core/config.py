@@ -148,7 +148,8 @@ def preset(name: str) -> Config:
         c = _replace(c, "data", image_size=(64, 64), max_proposals=32,
                      rois_per_image=16, max_gt_per_image=8)
         c = _replace(c, "train", batch_size=2, total_steps=20, lr=2e-2,
-                     checkpoint_every=10, warmup_steps=0)
+                     checkpoint_every=10, warmup_steps=0,
+                     freeze_backbone_stages=0)  # random-init trunk: train all
         c = _replace(c, "eval", pre_nms_per_class=16, max_detections=10,
                      roi_chunk=32)
     elif name != "default":

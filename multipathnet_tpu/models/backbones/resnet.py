@@ -6,10 +6,17 @@ He-init residual v1 design; c3/c4/c5 are the stride-4/8/16 stage outputs
 (stage4/stride-32 is omitted — the detector pools from /16 and below, matching
 the VGG tap points).
 
-BatchNorm runs in inference mode by default with learnable scale/bias
-(use_running_average) — detection fine-tuning freezes BN statistics, the
-standard Fast R-CNN-era practice mirrored from the reference's BN handling
-(SURVEY.md §2.1 "Model utils": "BN/dropout handling").
+BatchNorm statistics are FROZEN (use_running_average=True in both train and
+eval): detection fine-tuning at batch 1-8 images keeps pretrained running
+stats and trains only the affine scale/bias — the Fast R-CNN-era practice
+mirrored from the reference's BN handling (SURVEY.md §2.1 "Model utils":
+"BN/dropout handling"). The `batch_stats` collection therefore never needs to
+be mutable inside the jitted train step.
+
+Naming: the stem is "stem"/"stem_bn"; residual groups are "stage{2,3,4}_block{i}"
+(mirroring the conv2_x/conv3_x/conv4_x convention), so stage freezing
+(NoBackprop analog) can match parameter paths robustly — see
+`frozen_prefixes`.
 """
 
 from __future__ import annotations
@@ -21,6 +28,11 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _frozen_norm(dtype):
+    return partial(nn.BatchNorm, use_running_average=True, momentum=0.9,
+                   dtype=dtype)
+
+
 class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
@@ -28,8 +40,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, dtype=self.dtype)
+        norm = _frozen_norm(self.dtype)
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
                     padding="SAME", use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
@@ -50,8 +61,7 @@ class BottleneckBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, dtype=self.dtype)
+        norm = _frozen_norm(self.dtype)
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
@@ -72,13 +82,24 @@ class ResNet(nn.Module):
     dtype: Any = jnp.bfloat16
     feature_strides = {"c3": 4, "c4": 8, "c5": 16}
 
+    @staticmethod
+    def frozen_prefixes(n_stages: int) -> tuple:
+        """Param-name prefixes (under the backbone scope) for freezing the
+        first n stages: stage 1 = stem conv+BN, stages 2..4 = residual groups
+        (conv2_x/conv3_x/conv4_x convention)."""
+        out = []
+        if n_stages >= 1:
+            out += ["stem", "stem_bn"]
+        for s in range(2, min(n_stages, 4) + 1):
+            out.append(f"stage{s}_")
+        return tuple(out)
+
     @nn.compact
     def __call__(self, x, train: bool = False) -> dict:
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False,
                     dtype=self.dtype, name="stem")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 dtype=self.dtype)(x))
+        x = nn.relu(_frozen_norm(self.dtype)(name="stem_bn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # /4
         feats = {}
         filters = 64
@@ -86,7 +107,8 @@ class ResNet(nn.Module):
             stride = 1 if si == 0 else 2
             for bi in range(n_blocks):
                 x = self.block(filters, stride if bi == 0 else 1,
-                               dtype=self.dtype)(x, train)
+                               dtype=self.dtype,
+                               name=f"stage{si + 2}_block{bi}")(x, train)
             feats[f"c{si + 3}"] = x
             filters *= 2
         return feats

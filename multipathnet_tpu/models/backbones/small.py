@@ -18,20 +18,29 @@ class AlexNetLike(nn.Module):
     dtype: Any = jnp.bfloat16
     feature_strides = {"c3": 4, "c4": 8, "c5": 16}
 
+    @staticmethod
+    def frozen_prefixes(n_stages: int) -> tuple:
+        """AlexNet-style freezing: conv1..convN (5 convs total)."""
+        return tuple(f"conv{i}" for i in range(1, min(n_stages, 5) + 1))
+
     @nn.compact
     def __call__(self, x, train: bool = False) -> dict:
         x = x.astype(self.dtype)
         x = nn.relu(nn.Conv(64, (7, 7), (2, 2), padding="SAME",
-                            dtype=self.dtype)(x))       # /2
+                            dtype=self.dtype, name="conv1")(x))  # /2
         x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")  # /4
-        x = nn.relu(nn.Conv(192, (5, 5), padding="SAME", dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(192, (5, 5), padding="SAME", dtype=self.dtype,
+                            name="conv2")(x))
         feats = {"c3": x}
         x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")  # /8
-        x = nn.relu(nn.Conv(384, (3, 3), padding="SAME", dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(384, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="conv3")(x))
         feats["c4"] = x
         x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")  # /16
-        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="conv4")(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                            name="conv5")(x))
         feats["c5"] = x
         return feats
 
@@ -42,14 +51,22 @@ class TinyNet(nn.Module):
     dtype: Any = jnp.float32
     feature_strides = {"c3": 4, "c4": 8, "c5": 16}
 
+    @staticmethod
+    def frozen_prefixes(n_stages: int) -> tuple:
+        return tuple(f"conv{i}" for i in range(1, min(n_stages, 4) + 1))
+
     @nn.compact
     def __call__(self, x, train: bool = False) -> dict:
         x = x.astype(self.dtype)
-        x = nn.relu(nn.Conv(8, (3, 3), (2, 2), padding="SAME", dtype=self.dtype)(x))
-        x = nn.relu(nn.Conv(8, (3, 3), (2, 2), padding="SAME", dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(8, (3, 3), (2, 2), padding="SAME",
+                            dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(nn.Conv(8, (3, 3), (2, 2), padding="SAME",
+                            dtype=self.dtype, name="conv2")(x))
         feats = {"c3": x}
-        x = nn.relu(nn.Conv(16, (3, 3), (2, 2), padding="SAME", dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(16, (3, 3), (2, 2), padding="SAME",
+                            dtype=self.dtype, name="conv3")(x))
         feats["c4"] = x
-        x = nn.relu(nn.Conv(32, (3, 3), (2, 2), padding="SAME", dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(32, (3, 3), (2, 2), padding="SAME",
+                            dtype=self.dtype, name="conv4")(x))
         feats["c5"] = x
         return feats

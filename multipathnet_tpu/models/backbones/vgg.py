@@ -26,6 +26,12 @@ class VGG16(nn.Module):
     dtype: Any = jnp.bfloat16
     feature_strides = {"c3": 4, "c4": 8, "c5": 16}
 
+    @staticmethod
+    def frozen_prefixes(n_stages: int) -> tuple:
+        """Param-name prefixes for freezing conv blocks 1..n (NoBackprop
+        analog; the reference freezes early VGG blocks during fine-tuning)."""
+        return tuple(f"conv{b}_" for b in range(1, min(n_stages, 5) + 1))
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
         """x: (B, H, W, 3) float in [0, 1]-ish (already normalized).

@@ -34,7 +34,7 @@ def test_train_loss_decreases(setup):
     cfg, trainer, pipe, *_ = setup
     state = trainer.init_state()
     losses = []
-    for epoch in range(6):
+    for epoch in range(8):
         for batch in pipe.epoch(epoch):
             state, m = trainer.step(state, batch)
             losses.append(float(m["loss"]))
@@ -88,3 +88,86 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     s_a, m_a = trainer.step(state, batch)
     s_b, m_b = trainer.step(restored, batch)
     assert float(m_a["loss"]) == float(m_b["loss"])
+
+
+def test_freeze_backbone_all_trunks():
+    """NoBackprop analog (round-1 VERDICT weak #4): freezing must zero grads
+    on the named stages for EVERY backbone, not just VGG."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.models.backbones import get_backbone
+    from multipathnet_tpu.train.loop import _freeze_mask
+
+    cases = {
+        "vgg16": ("conv1_1", "conv2_2"),
+        "resnet18": ("stem", "stage2_block0"),
+        "alexnet": ("conv1", "conv2"),
+        "tinynet": ("conv1", "conv2"),
+    }
+    for name, frozen_names in cases.items():
+        bb = get_backbone(name, jnp.float32)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        # mimic the model param tree layout: params under a "backbone" scope
+        tree = {"params": {"backbone": variables["params"],
+                           "head": {"fc6_f0": {"kernel": jnp.zeros((2, 2))}}}}
+        mask = _freeze_mask(tree, 2, bb)
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        frozen = {".".join(str(getattr(p, "key", "")) for p in path): v
+                  for path, v in flat}
+        n_frozen = sum(1 for v in frozen.values() if v == 0.0)
+        assert n_frozen > 0, f"{name}: nothing frozen"
+        for want in frozen_names:
+            hits = [k for k in frozen if f".{want}" in k]
+            assert hits, f"{name}: no params match {want}"
+            assert all(frozen[k] == 0.0 for k in hits), (name, want)
+        # head params never frozen
+        assert all(v == 1.0 for k, v in frozen.items() if ".head." in k)
+
+
+def test_freeze_unknown_backbone_errors():
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.train.loop import _freeze_mask
+
+    class NoTable(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return x
+
+    with pytest.raises(ValueError, match="frozen_prefixes"):
+        _freeze_mask({"params": {}}, 2, NoTable())
+
+
+def test_resnet_train_step_runs(tmp_path):
+    """ResNet BN stats are frozen (use_running_average always True), so the
+    jitted train step needs no mutable batch_stats — round-1 latent bug."""
+    import dataclasses
+
+    cfg = preset("tiny")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, backbone="resnet18"),
+        train=dataclasses.replace(cfg.train, freeze_backbone_stages=2))
+    fx = synthetic.generate(str(tmp_path), num_images=4, image_size=64,
+                            num_classes=4, proposals_per_image=16, seed=7)
+    loader = CocoLoader(fx["annotations"], fx["images"])
+    props = ProposalStore.load(fx["proposals"])
+    trainer = Trainer(cfg, mesh=make_mesh(n_data=2))
+    pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
+    state = trainer.init_state()
+    p0 = jax.tree.map(np.asarray, state.params)
+    state, m = trainer.step(state, next(pipe.epoch(0)))
+    assert np.isfinite(float(m["loss"]))
+    # frozen stem/stage2 params unchanged; some unfrozen param changed
+    pb0 = p0["params"]["backbone"]
+    pb1 = jax.tree.map(np.asarray, state.params)["params"]["backbone"]
+    np.testing.assert_array_equal(
+        pb0["stem"]["kernel"], pb1["stem"]["kernel"])
+    np.testing.assert_array_equal(
+        pb0["stage2_block0"]["Conv_0"]["kernel"],
+        pb1["stage2_block0"]["Conv_0"]["kernel"])
+    changed = np.any(pb0["stage3_block0"]["Conv_0"]["kernel"]
+                     != pb1["stage3_block0"]["Conv_0"]["kernel"])
+    assert changed, "unfrozen stage3 did not update"
