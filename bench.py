@@ -88,17 +88,24 @@ def main() -> None:
     inputs = (jnp.asarray(images), jnp.asarray(src_hws),
               jnp.asarray(proposals), jnp.asarray(prop_mask))
 
+    # NOTE: jax.block_until_ready can return without draining the axon relay
+    # queue (observed 2026-08-16: 10 queued 25ms kernels "blocked" in 0.03ms);
+    # materializing a scalar is the only reliable completion fence here.
+    def fence(o):
+        return float(jnp.sum(o["scores"]) + jnp.sum(o["valid"]))
+
     log("compile + warmup...")
     t0 = time.time()
-    out = jax.block_until_ready(fn(params, *inputs))
+    out = fn(params, *inputs)
+    fence(out)
     log(f"first call {time.time()-t0:.1f}s; "
         f"detections img0: {int(np.asarray(out['valid'][0]).sum())}")
-    jax.block_until_ready(fn(params, *inputs))
+    fence(fn(params, *inputs))
 
     t0 = time.time()
     for _ in range(args.iters):
         out = fn(params, *inputs)
-    jax.block_until_ready(out)
+    fence(out)
     dt = time.time() - t0
     ips = args.batch * args.iters / dt
     log(f"{args.iters} iters x {b} imgs in {dt:.2f}s")

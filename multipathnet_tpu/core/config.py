@@ -29,6 +29,10 @@ class ModelConfig:
     # Integral-loss classifier heads: fg IoU thresholds (MultiPath §3.3).
     # A single (0.5,) => vanilla Fast R-CNN classification loss.
     integral_thresholds: Tuple[float, ...] = (0.50, 0.55, 0.60, 0.65, 0.70, 0.75)
+    # Aggregation of the K integral CE terms: "mean" (default; cls:bbox 1:1,
+    # measured to train far better from random init) or "sum" (paper-literal
+    # L = sum_k CE_k). See train/losses.py docstring for the measurements.
+    integral_loss_agg: str = "mean"
     roi_output_size: int = 7  # ROI pooling output bins (Fast R-CNN: 7x7)
     roi_samples_per_bin: int = 2  # bilinear samples per bin axis (roi_align)
     # ROI feature implementation for inference: "auto" (Pallas kernel on TPU,
@@ -89,7 +93,9 @@ class TrainConfig:
 class EvalConfig:
     score_threshold: float = 0.05
     nms_iou_threshold: float = 0.5
-    pre_nms_per_class: int = 256  # top-k per class before NMS
+    # top-k per class before NMS; 100 suffices for the COCO <=100 det/img cap
+    # and halves NMS time vs 256 (docs/PERF.md)
+    pre_nms_per_class: int = 100
     max_detections: int = 100  # COCO protocol: <=100 det/img
     roi_chunk: int = 512  # SequentialSplitBatch analog: ROI chunking at test time
 

@@ -9,6 +9,21 @@ ops/roi.py / ops/roi_pallas.py so the head is kernel-agnostic.
 Paper anchors: foveal regions MultiPath §3.1; skip-connection 1x1 reduction
 §3.2 (ION-style, dim [M] -> 512); integral heads §3.3 (K thresholds, averaged
 at test time — the averaging lives in eval/detect.py).
+
+TPU layout notes (docs/PERF.md, measured on the v5e 2026-08-16):
+- The ION 1x1 reduction is NOT applied here: pooling is linear, so
+  reduce(concat_l(pool_l(f))) == sum_l(pool_l(reduce_l(f))). The per-level
+  1x1 convs live in MultiPathNet.features on the trunk maps (24x fewer
+  FLOPs: ~270k trunk pixels instead of 8k ROIs x 4 foveal x 49 bins), and
+  this head receives the level-SUMMED pooled tensor, adding only the shared
+  bias + ReLU. This also shrinks the pooled tensor 2.5x (C=1280 -> 512).
+- Input stays in its natural (B, F, R, g, g, C) layout; per-branch slabs are
+  strided slices XLA fuses into the FC6 GEMM (an explicit (F, B*R, ...)
+  transpose measured 7.75 ms at bench shapes).
+- The per-branch fc6/fc7 GEMM loop runs at ~180 TF/s (91% MFU) — batching
+  the branches into one einsum measured no faster, so the loop (with its
+  checkpoint-friendly per-branch param names fc6_f{i}/fc7_f{i}) stays.
+- cls + bbox share one GEMM (one read of the (N, F*fc) trunk instead of two).
 """
 
 from __future__ import annotations
@@ -31,23 +46,24 @@ class MultiPathHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray, train: bool = False):
-        """pooled: (F, N, G, G, C) — F foveal slabs of multi-level-concat ROI
-        features for N ROIs. Returns (scores (N, K, num_classes) f32,
-        bbox_deltas (N, 4*num_classes or 4) f32)."""
-        f, n, g, _, c = pooled.shape
+        """pooled: (B, F, R, G, G, C) — level-summed, pre-reduced ROI
+        features (C = skip_reduce_dim), one slab per foveal view. Returns
+        (scores (B*R, K, num_classes) f32, bbox_deltas (B*R, D) f32)."""
+        b, f, r, g, _, c = pooled.shape
         assert f == len(self.foveal_scales), (f, self.foveal_scales)
-        x = pooled.astype(self.dtype)
+        assert c == self.skip_reduce_dim, (c, self.skip_reduce_dim)
+        n = b * r
 
-        # shared 1x1 reduction of the skip concat (ION-style)
-        x = nn.Conv(self.skip_reduce_dim, (1, 1), dtype=self.dtype,
-                    name="skip_reduce")(x.reshape(f * n, g, g, c))
-        x = nn.relu(x)
-        x = x.reshape(f, n, g * g * self.skip_reduce_dim)
+        # shared bias + ReLU completing the ION-style reduction (the 1x1 convs
+        # ran per level on the trunk maps — see module docstring)
+        bias = self.param("skip_bias", nn.initializers.zeros, (c,))
+        x = nn.relu(pooled.astype(self.dtype) + bias.astype(self.dtype))
 
         # per-branch FC6/FC7 (each foveal view has its own head — §3.1)
         branches = []
         for i in range(f):
-            h = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc6_f{i}")(x[i])
+            h = x[:, i].reshape(n, g * g * c)
+            h = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc6_f{i}")(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             h = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc7_f{i}")(h)
@@ -56,15 +72,26 @@ class MultiPathHead(nn.Module):
             branches.append(h)
         trunk = jnp.concatenate(branches, axis=-1)  # (N, F*fc_dim)
 
-        # K integral classifier heads as one fused matmul: (N, K*C)
+        # K integral heads + bbox regressor as ONE fused GEMM over the trunk
         k = self.num_integral_heads
-        scores = nn.Dense(k * self.num_classes, dtype=self.dtype,
-                          name="cls_integral")(trunk)
-        scores = scores.reshape(n, k, self.num_classes).astype(jnp.float32)
-
+        cls_dim = k * self.num_classes
         bbox_dim = 4 * self.num_classes if self.class_specific_bbox else 4
-        # bbox head init: small weights — deltas start near 0 (standard practice)
-        bbox = nn.Dense(bbox_dim, dtype=self.dtype,
-                        kernel_init=nn.initializers.normal(1e-3),
-                        name="bbox")(trunk).astype(jnp.float32)
-        return scores, bbox
+
+        def mixed_init(key, shape, dtype=jnp.float32):
+            # cls columns: LeCun-normal (nn.Dense default); bbox columns:
+            # small normal so predicted deltas start near 0 (standard practice)
+            import jax
+
+            kc_key, kb_key = jax.random.split(key)
+            kc = nn.initializers.lecun_normal()(kc_key, (shape[0], cls_dim),
+                                                dtype)
+            kb = nn.initializers.normal(1e-3)(kb_key,
+                                              (shape[0], shape[1] - cls_dim),
+                                              dtype)
+            return jnp.concatenate([kc, kb], axis=1)
+
+        out = nn.Dense(cls_dim + bbox_dim, dtype=self.dtype,
+                       kernel_init=mixed_init, name="cls_bbox")(trunk)
+        scores = out[:, :cls_dim].reshape(n, k, self.num_classes)
+        bbox = out[:, cls_dim:]
+        return scores.astype(jnp.float32), bbox.astype(jnp.float32)

@@ -31,6 +31,16 @@ class MultiPathNet(nn.Module):
     def setup(self):
         dtype = jnp.dtype(self.cfg.dtype)
         self.backbone = get_backbone(self.cfg.backbone, dtype)
+        # ION-style 1x1 skip reduction (MultiPath §3.2), applied PER LEVEL on
+        # the trunk maps: pooling is linear, so sum_l(pool(W_l f_l)) equals
+        # the reference's reduce(concat_l(pool(f_l))) at 24x fewer FLOPs
+        # (trunk pixels, not ROI views x bins — docs/PERF.md). The shared
+        # bias + ReLU complete the reduction inside the head.
+        self.reduce = {
+            l: nn.Conv(self.cfg.skip_reduce_dim, (1, 1), use_bias=False,
+                       dtype=dtype, name=f"reduce_{l}")
+            for l in self.cfg.skip_levels
+        }
         self.head = MultiPathHead(
             num_classes=self.cfg.num_classes,
             foveal_scales=self.cfg.foveal_scales,
@@ -42,9 +52,10 @@ class MultiPathNet(nn.Module):
         )
 
     def features(self, images: jnp.ndarray, train: bool = False) -> dict:
-        """images (B, H, W, 3) normalized float -> {"c3","c4","c5"} NHWC."""
+        """images (B, H, W, 3) normalized float -> {"c3","c4","c5"} NHWC,
+        each 1x1-reduced to skip_reduce_dim channels (see setup)."""
         feats = self.backbone(images, train=train)
-        return {l: feats[l] for l in self.cfg.skip_levels}
+        return {l: self.reduce[l](feats[l]) for l in self.cfg.skip_levels}
 
     def pool_rois(self, feats: dict, rois: jnp.ndarray,
                   image_hw: tuple, train: bool = False) -> jnp.ndarray:
@@ -74,6 +85,7 @@ class MultiPathNet(nn.Module):
                     image_hw=image_hw,
                     output_size=self.cfg.roi_output_size,
                     samples_per_bin=self.cfg.roi_samples_per_bin,
+                    combine="sum",
                 )
 
             return jax.vmap(wrapper)(*feats_list, rois)
@@ -93,6 +105,7 @@ class MultiPathNet(nn.Module):
                     image_hw=image_hw,
                     output_size=self.cfg.roi_output_size,
                     samples_per_bin=self.cfg.roi_samples_per_bin,
+                    combine="sum",
                 )
 
             return jax.vmap(wrapper)(*feats_list, rois)
@@ -107,14 +120,15 @@ class MultiPathNet(nn.Module):
         vflat = views.reshape(-1, 4)
         img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)
         interp = jax.default_backend() != "tpu"
-        outs = []
+        out = None
         for l in self.cfg.skip_levels:
             c = feats[l].shape[-1]
             # Mosaic can't lane-merge sub-128-channel windows: pad such
-            # levels (ResNet-18 c3=64, test trunks) up to the lane width —
-            # 2x DMA for that level still beats the 20x-slower XLA gather.
+            # levels up to the lane width — moot for production configs now
+            # that levels are pre-reduced to skip_reduce_dim (512), but kept
+            # for ad-hoc configs pooling raw sub-128-channel maps.
             # Interpret mode (CPU tests) has no lane constraint; skip the
-            # 16x blowup there (tests/test_roi_pallas.py covers padding).
+            # blowup there (tests/test_roi_pallas.py covers padding).
             pad_c = 0 if interp else (-c) % 128
             lvl_feats = feats[l]
             if pad_c:
@@ -125,19 +139,18 @@ class MultiPathNet(nn.Module):
             pooled = roi_pallas.batched_pyramid_pool(
                 flat_all, meta, vflat, img_idx, output_size=g,
                 samples_per_bin=self.cfg.roi_samples_per_bin,
-                interpret=interp, trainable=train)
-            outs.append(pooled[..., :c])
-        out = jnp.concatenate(outs, axis=-1)
+                interpret=interp, trainable=train)[..., :c]
+            out = pooled if out is None else out + pooled
         return out.reshape(b, nf, r, g, g, out.shape[-1])
 
     def predict_rois(self, pooled: jnp.ndarray, train: bool = False):
         """pooled (B, F, R, G, G, C) -> scores (B, R, K, C), deltas (B, R, D).
 
-        Flattens the batch and ROI axes into one big matmul batch (MXU wants
-        large GEMMs, not per-image loops)."""
-        b, f, r, g, _, c = pooled.shape
-        flat = pooled.transpose(1, 0, 2, 3, 4, 5).reshape(f, b * r, g, g, c)
-        scores, deltas = self.head(flat, train=train)
+        The head flattens (B, R) into one big GEMM batch internally; the
+        natural layout goes in unchanged (no (F, B*R) transpose — it measured
+        7.75 ms on the 4 GB round-1 pooled tensor, docs/PERF.md)."""
+        b, r = pooled.shape[0], pooled.shape[2]
+        scores, deltas = self.head(pooled, train=train)
         k = scores.shape[1]
         return (scores.reshape(b, r, k, -1), deltas.reshape(b, r, -1))
 

@@ -144,12 +144,16 @@ def multilevel_foveal_roi_features(
     output_size: int = 7,
     samples_per_bin: int = 2,
     mode: str = "avg",
+    combine: str = "concat",
 ) -> jnp.ndarray:
     """The fused MultiPath feature op (XLA reference implementation).
 
     For each foveal context factor f (MultiPath §3.1) and each skip level l
-    (§3.2): expand the ROI by f, roi_align on level l, concat channels over
-    levels. Output: (F, R, G, G, sum_l C_l) — one slab per foveal branch.
+    (§3.2): expand the ROI by f, roi_align on level l, combine channels over
+    levels. combine="concat" -> (F, R, G, G, sum_l C_l); combine="sum"
+    (all levels same C, used when the ION-style 1x1 reduction has already
+    been applied per level on the trunk maps — pooling is linear, so
+    sum-of-pooled-reduced == reduce(concat-of-pooled)) -> (F, R, G, G, C).
 
     ops/roi_pallas.py provides the fused-kernel fast path with identical
     semantics; this function is its test oracle (SURVEY.md §7.3 item 1).
@@ -173,7 +177,10 @@ def multilevel_foveal_roi_features(
             )
             for l in levels
         ]
-        out_per_f.append(jnp.concatenate(pooled, axis=-1))
+        if combine == "sum":
+            out_per_f.append(sum(pooled))
+        else:
+            out_per_f.append(jnp.concatenate(pooled, axis=-1))
     return jnp.stack(out_per_f, axis=0)
 
 

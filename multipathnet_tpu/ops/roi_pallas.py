@@ -10,17 +10,20 @@ compile (2026-08-16 profiles).
 Design (see pallas_guide.md patterns: double buffering, PrefetchScalarGridSpec):
 
   host XLA (cheap, dense):  per (image, roi, foveal) view — pyramid scale
-      selection, window origin (row0, x0), and 7x16 bilinear weight rows with
-      the S-sample averaging FOLDED IN (avg pooling commutes with the linear
-      interpolation, so the sample axis disappears entirely).
+      selection, window origin (row0, x0), and the (G, WINDOW)/(G, WINDOW_X)
+      bilinear weight rows with the S-sample averaging FOLDED IN (avg pooling
+      commutes with the linear interpolation, so the sample axis disappears).
   kernel grid over view-tiles: double-buffered async DMA of each view's
-      (16, 16, C) window HBM->VMEM (the ONLY irregular access, expressed as
-      one strided DMA per view), then
-          m1 = Wy(7,16) @ win(16, 16C)          one MXU dot
-          out[i] = Wx(7,16) @ m1[i](16, C)      7 small MXU dots (no transpose)
+      (WINDOW=10, WINDOW_X=16, C) window HBM->VMEM (the ONLY irregular
+      access, expressed as one strided DMA per view), then
+          m1 = Wy(G,10) @ win(10, 16C)          one MXU dot
+          out[i] = Wx(G,16) @ m1[i](16, C)      G small MXU dots (no transpose)
 
-  Per view: ~2.6 MFLOP and 256KB of HBM traffic — vs the gather path's
-  hundreds of MB of scattered reads.
+  Window sizing: bins span (0.5, 1] pyramid cell at the selected scale
+  (roi_pyramid.WINDOW comment), so G=7 bins + bilinear halo fit in 10 rows;
+  x is 16 wide because DMA origins must be 8-aligned on the sublane dim
+  (origin rounded down to 8) and 7 bins + halo then need <=16 cols. Per view
+  at C=512: 160 KB of HBM traffic — vs the gather path's scattered reads.
 
 Max-mode and gradients are not supported here (eval fast path); training and
 max-mode use the XLA implementations.
@@ -43,7 +46,7 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
     """Vectorized scale selection + window origins + folded bilinear weights.
 
     rois (N, 4) image coords -> row0 (N,) int32 absolute pyramid row,
-    x0 (N,) int32, wy (N, G, 16) f32, wx (N, G, 16) f32.
+    x0 (N,) int32, wy (N, G, WINDOW=10) f32, wx (N, G, WINDOW_X=16) f32.
     Mirrors roi_pyramid._one_roi exactly (shared constants, tested equal).
     """
     g, s = output_size, samples_per_bin
@@ -69,7 +72,7 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
 
     y0 = jnp.clip(jnp.floor(sy[:, 0]).astype(jnp.int32), 0,
                   jnp.maximum(pyr.heights[lvl] - WINDOW, 0))
-    # x window: 8-aligned start (HBM DMA sublane constraint), 16 cols wide
+    # x window: 8-aligned start (HBM DMA sublane constraint), WINDOW_X cols
     wmax = pyr.flat.shape[1]
     x0 = jnp.clip(jnp.floor(sx[:, 0]).astype(jnp.int32), 0,
                   jnp.maximum(pyr.widths[lvl] - (WINDOW_X - 7), 0))
@@ -79,8 +82,8 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
     cells_x = jnp.arange(WINDOW_X, dtype=f32)
     ly = jnp.clip(sy - y0[:, None].astype(f32), 0.0, WINDOW - 1.0)
     lx = jnp.clip(sx - x0[:, None].astype(f32), 0.0, WINDOW_X - 1.0)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly[:, :, None] - cells_y))  # (N,GS,16)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx[:, :, None] - cells_x))  # (N,GS,24)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ly[:, :, None] - cells_y))  # (N,GS,10)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(lx[:, :, None] - cells_x))  # (N,GS,16)
     # fold the S-sample average into the weights (linearity of bilinear)
     n = rois.shape[0]
     wy = wy.reshape(n, g, s, WINDOW).mean(axis=2)
@@ -121,14 +124,14 @@ def _window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, flat_ref, out_ref,
     slot = i % 2
     for t in range(tile):
         dma(i, slot, t).wait()
-        w = win[slot, t]                              # (16, 24, C) bf16
-        wy = wy_ref[t].astype(w.dtype)                # (G, 16)
-        wx = wx_ref[t].astype(jnp.float32)            # (G, 24)
+        w = win[slot, t]                              # (10, 16, C) bf16
+        wy = wy_ref[t].astype(w.dtype)                # (G, 10)
+        wx = wx_ref[t].astype(jnp.float32)            # (G, 16)
         m1 = jax.lax.dot_general(
             wy, w.reshape(WINDOW, WINDOW_X * c),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(g, WINDOW_X, c)                     # (G, 24, C) f32
+        ).reshape(g, WINDOW_X, c)                     # (G, 16, C) f32
         for gi in range(g):
             out_ref[t, gi] = jax.lax.dot_general(
                 wx, m1[gi],
@@ -140,7 +143,8 @@ def _window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, flat_ref, out_ref,
 def pallas_window_pool(flat: jnp.ndarray, row0: jnp.ndarray, x0: jnp.ndarray,
                        wy: jnp.ndarray, wx: jnp.ndarray, *,
                        tile: int = 8, interpret: bool = False) -> jnp.ndarray:
-    """flat (rows, Wmax, C); row0/x0 (N,); wy/wx (N, G, 16) -> (N, G, G, C).
+    """flat (rows, Wmax, C); row0/x0 (N,); wy (N, G, 10), wx (N, G, 16)
+    -> (N, G, G, C).
 
     N is padded to a multiple of `tile` internally.
     """
@@ -199,10 +203,10 @@ def _wpt_fwd(flat, row0, x0, wy, wx, tile, interpret):
 def _wpt_bwd(tile, interpret, res, g):
     stub, row0, x0, wy, wx = res
     shape, dtype = stub.shape, stub.dtype
-    # window gradient: gwin[n] = Wy[n]^T @ g[n] @ Wx[n]  -> (N, 16, 24, C)
+    # window gradient: gwin[n] = Wy[n]^T @ g[n] @ Wx[n]  -> (N, 10, 16, C)
     g = g.astype(jnp.float32)
-    m = jnp.einsum("ngy,nghc->nyhc", wy, g)          # (N, 16, G, C)
-    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)       # (N, 16, 24, C)
+    m = jnp.einsum("ngy,nghc->nyhc", wy, g)          # (N, 10, G, C)
+    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)       # (N, 10, 16, C)
     idx = jnp.stack([row0, x0], axis=-1).astype(jnp.int32)  # (N, 2)
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1, 2, 3),

@@ -203,9 +203,11 @@ def multilevel_foveal_pyramid_features(
     output_size: int = 7,
     samples_per_bin: int = 2,
     mode: str = "avg",
+    combine: str = "concat",
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.roi.multilevel_foveal_roi_features with
-    pyramid sampling: (F, R, G, G, sum_l C_l)."""
+    pyramid sampling: (F, R, G, G, sum_l C_l) for combine="concat",
+    (F, R, G, G, C) for combine="sum" (pre-reduced equal-C levels)."""
     from multipathnet_tpu.ops import boxes as box_ops
 
     out_per_f = []
@@ -219,5 +221,8 @@ def multilevel_foveal_pyramid_features(
                               samples_per_bin=samples_per_bin, mode=mode)
             for pyr in pyramids.values()
         ]
-        out_per_f.append(jnp.concatenate(pooled, axis=-1))
+        if combine == "sum":
+            out_per_f.append(sum(pooled))
+        else:
+            out_per_f.append(jnp.concatenate(pooled, axis=-1))
     return jnp.stack(out_per_f, axis=0)

@@ -139,6 +139,7 @@ def make_train_step(model: MultiPathNet, cfg: Config, tx):
                 integral_thresholds=m.integral_thresholds,
                 num_classes=m.num_classes,
                 class_specific_bbox=m.class_specific_bbox,
+                integral_agg=m.integral_loss_agg,
             )
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

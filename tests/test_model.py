@@ -186,3 +186,58 @@ def test_resize_respects_src_hw_padding():
     c1, s1 = T.resize_to_canvas(jnp.asarray(raw), (64, 64), src_hw=(40, 20))
     assert abs(float(s1) - 1.6) < 1e-6
     assert np.abs(np.asarray(c1)[:, 33:]).max() == 0
+
+
+def test_prereduce_equals_reference_concat_reduce():
+    """The TPU layout (per-level 1x1 reduce on trunk maps -> pool -> sum)
+    must equal the reference layout (pool raw maps -> concat -> 1x1 reduce):
+    pooling is linear, so the two commute (models/heads.py docstring)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.models.backbones import get_backbone
+    from multipathnet_tpu.models.multipath import MultiPathNet, build_model
+    from multipathnet_tpu.ops import roi as roi_ops
+
+    cfg = preset("tiny").model
+    cfg = dataclasses.replace(cfg, roi_impl="direct", train_roi_impl="direct",
+                              dtype="float32")
+    model = build_model(cfg)
+    rng = jax.random.key(3)
+    images = jax.random.uniform(rng, (2, 64, 64, 3))
+    rois = jnp.asarray([[[4, 4, 40, 40], [8, 16, 30, 60]]] * 2, jnp.float32)
+    params = model.init(jax.random.key(0), images, rois)
+
+    # new path: reduced features -> pooled sum (+ bias + relu as in the head)
+    feats = model.apply(params, images, method=MultiPathNet.features)
+    pooled_new = model.apply(params, feats, rois, (64, 64),
+                             method=MultiPathNet.pool_rois)
+    bias = params["params"]["head"]["skip_bias"]
+    new = jax.nn.relu(pooled_new + bias)
+
+    # reference path: pool RAW trunk maps, concat levels, 1x1 reduce, relu
+    bb = get_backbone(cfg.backbone, jnp.float32)
+    raw = bb.apply({"params": params["params"]["backbone"]}, images)
+    strides = bb.feature_strides
+    scales = {l: 1.0 / strides[l] for l in cfg.skip_levels}
+
+    def pool_raw(*args):
+        f_b = dict(zip(cfg.skip_levels, args[:-1]))
+        return roi_ops.multilevel_foveal_roi_features(
+            f_b, args[-1], scales=scales, foveal_factors=cfg.foveal_scales,
+            image_hw=(64, 64), output_size=cfg.roi_output_size,
+            samples_per_bin=cfg.roi_samples_per_bin, combine="concat")
+
+    raw_pooled = jax.vmap(pool_raw)(
+        *[raw[l] for l in cfg.skip_levels], rois)  # (B,F,R,G,G,sumC)
+    w = jnp.concatenate(
+        [params["params"][f"reduce_{l}"]["kernel"][0, 0]
+         for l in cfg.skip_levels], axis=0)  # (sum_C, RD)
+    ref = jax.nn.relu(raw_pooled @ w + bias)
+
+    assert new.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

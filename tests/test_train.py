@@ -171,3 +171,42 @@ def test_resnet_train_step_runs(tmp_path):
     changed = np.any(pb0["stage3_block0"]["Conv_0"]["kernel"]
                      != pb1["stage3_block0"]["Conv_0"]["kernel"])
     assert changed, "unfrozen stage3 did not update"
+
+
+def test_integral_loss_agg():
+    """Pin both aggregation modes of the MultiPath §3.3 integral loss:
+    "sum" = paper-literal sum of the K per-head cross-entropies
+    (ParallelCriterion semantics); "mean" (default) = sum / K. Total is
+    cls + bbox_weight * bbox. Rationale for the default: losses.py docstring."""
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.data.sampler import RoiSample
+    from multipathnet_tpu.train.losses import detection_loss
+
+    b, s, k, c = 2, 8, 6, 5
+    key = jax.random.key(0)
+    scores = jax.random.normal(key, (b, s, k, c))
+    deltas = jax.random.normal(jax.random.key(1), (b, s, 4 * c))
+    sample = RoiSample(
+        rois=jnp.zeros((b, s, 4)),
+        matched_class=jnp.ones((b, s), jnp.int32),
+        max_iou=jnp.full((b, s), 0.8),
+        is_fg=jnp.ones((b, s), bool),
+        bbox_targets=jnp.zeros((b, s, 4)),
+        valid=jnp.ones((b, s), bool),
+    )
+    total, m = detection_loss(
+        scores, deltas, sample,
+        integral_thresholds=(0.50, 0.55, 0.60, 0.65, 0.70, 0.75),
+        num_classes=c, bbox_loss_weight=2.0, integral_agg="sum")
+    per_head = sum(float(m[f"loss_cls_h{i}"]) for i in range(k))
+    assert abs(float(m["loss_cls"]) - per_head) < 1e-5
+    assert abs(float(total) - (per_head + 2.0 * float(m["loss_bbox"]))) < 1e-5
+
+    total_m, mm = detection_loss(
+        scores, deltas, sample,
+        integral_thresholds=(0.50, 0.55, 0.60, 0.65, 0.70, 0.75),
+        num_classes=c, bbox_loss_weight=2.0)  # default agg = "mean"
+    assert abs(float(mm["loss_cls"]) - per_head / k) < 1e-5
+    assert abs(float(total_m)
+               - (per_head / k + 2.0 * float(mm["loss_bbox"]))) < 1e-5
