@@ -81,11 +81,19 @@ def main(argv=None) -> None:
     step = int(np.asarray(state.step))
     epoch = step // max(len(pipe), 1)
     t_last, s_last = time.time(), step
+    t_start, first_step_logged = time.time(), False
     imgs_per_step = cfg.train.batch_size
     while step < cfg.train.total_steps:
         for batch in pipe.epoch(epoch):
             state, metrics = trainer.step(state, batch)
             step += 1
+            if not first_step_logged:
+                # includes the step-graph compile; init itself is fast now
+                # (small-canvas trace, train/loop.py init_state)
+                dt0 = time.time() - t_start
+                logger.log(step, time_to_first_step=dt0)
+                print(f"time to first step: {dt0:.1f}s")
+                first_step_logged = True
             if step % cfg.train.log_every == 0:
                 dt = time.time() - t_last
                 ips = (step - s_last) * imgs_per_step / max(dt, 1e-9)

@@ -35,6 +35,17 @@ class ModelConfig:
     integral_loss_agg: str = "mean"
     roi_output_size: int = 7  # ROI pooling output bins (Fast R-CNN: 7x7)
     roi_samples_per_bin: int = 2  # bilinear samples per bin axis (roi_align)
+    # ROI pooling semantics: "align" (bilinear roi_align, the TPU-native
+    # default) or "max" (reference-exact inn.ROIPooling max semantics:
+    # integer bin extents, max over covered cells, pool RAW trunk maps then
+    # concat+1x1-reduce — routed to the XLA oracle path; for mAP parity runs
+    # against Torch checkpoints). SURVEY.md §2.2 row 1.
+    roi_mode: str = "align"
+    # Pixel preprocessing: "rgb_unit" ([0,1] RGB, ImageNet mean/std — the
+    # torchvision convention) or "caffe_bgr" (BGR order, 0-255 mean-pixel
+    # subtraction, no std — the reference's Caffe-origin trunks,
+    # SURVEY.md §2.1 ImageTransformer).
+    preprocess: str = "rgb_unit"
     # ROI feature implementation for inference: "auto" (Pallas kernel on TPU,
     # direct XLA elsewhere), "pallas", "pyramid" (XLA oracle of the kernel),
     # "direct" (gather-based roi_align).

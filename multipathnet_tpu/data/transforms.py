@@ -21,16 +21,26 @@ import jax.numpy as jnp
 
 IMAGE_MEAN = (0.485, 0.456, 0.406)
 IMAGE_STD = (0.229, 0.224, 0.225)
+# Caffe-origin trunks (the reference's converted VGG/ResNet .t7s): pixels in
+# 0-255, BGR channel order, per-channel mean-pixel subtraction, no std.
+# Values are the Fast R-CNN-era PIXEL_MEANS, in BGR order.
+CAFFE_BGR_MEAN = (102.9801, 115.9465, 122.7717)
 
 
-def normalize(image_u8: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) uint8 -> f32 normalized."""
+def normalize(image_u8: jnp.ndarray, preprocess: str = "rgb_unit") -> jnp.ndarray:
+    """(..., 3) uint8 RGB -> f32 normalized per the preprocess convention:
+    "rgb_unit" ([0,1] RGB, ImageNet mean/std) or "caffe_bgr" (BGR, 0-255,
+    mean-pixel subtraction — SURVEY.md §2.1 ImageTransformer)."""
+    if preprocess == "caffe_bgr":
+        x = image_u8.astype(jnp.float32)[..., ::-1]  # RGB -> BGR
+        return x - jnp.asarray(CAFFE_BGR_MEAN)
+    assert preprocess == "rgb_unit", preprocess
     x = image_u8.astype(jnp.float32) / 255.0
     return (x - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
 
 
 def resize_to_canvas(image_u8: jnp.ndarray, canvas_hw: tuple[int, int],
-                     src_hw=None):
+                     src_hw=None, preprocess: str = "rgb_unit"):
     """Aspect-preserving resize of (H, W, 3) uint8 onto a fixed canvas.
 
     src_hw: optional (h, w) *valid extent* when the input is already padded to
@@ -46,7 +56,7 @@ def resize_to_canvas(image_u8: jnp.ndarray, canvas_hw: tuple[int, int],
         sh = jnp.asarray(src_hw[0], jnp.float32)
         sw = jnp.asarray(src_hw[1], jnp.float32)
     scale = jnp.minimum(ch / sh, cw / sw)
-    x = normalize(image_u8)
+    x = normalize(image_u8, preprocess)
     out = jax.image.scale_and_translate(
         x, (ch, cw, 3), (0, 1),
         scale=jnp.stack([scale, scale]),
@@ -61,9 +71,11 @@ def resize_to_canvas(image_u8: jnp.ndarray, canvas_hw: tuple[int, int],
     return out * valid[..., None], scale
 
 
-def batch_resize_to_canvas(images_u8: jnp.ndarray, canvas_hw, src_hws):
+def batch_resize_to_canvas(images_u8: jnp.ndarray, canvas_hw, src_hws,
+                           preprocess: str = "rgb_unit"):
     """vmapped resize: images (B, H, W, 3), src_hws (B, 2) -> (B, CH, CW, 3),
     scales (B,)."""
-    return jax.vmap(lambda im, hw: resize_to_canvas(im, canvas_hw, hw))(
+    return jax.vmap(
+        lambda im, hw: resize_to_canvas(im, canvas_hw, hw, preprocess))(
         images_u8, src_hws
     )

@@ -44,7 +44,7 @@ def detect_batch(params, model: MultiPathNet, cfg: Config,
     b, p = proposals.shape[:2]
 
     canvases, scales = transforms.batch_resize_to_canvas(
-        images_u8, canvas_hw, src_hws)
+        images_u8, canvas_hw, src_hws, preprocess=cfg.model.preprocess)
     rois = proposals * scales[:, None, None]
 
     feats = model.apply(params, canvases, method=MultiPathNet.features)

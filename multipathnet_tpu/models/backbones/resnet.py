@@ -41,11 +41,14 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = _frozen_norm(self.dtype)
+        # explicit symmetric padding: torch pads stride-2 convs (1,1) while
+        # flax SAME pads (0,1) — parity-pinned by test_resnet18_trunk_parity
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
-        y = nn.Conv(self.filters, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(y)
+        y = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype)(y)
         y = norm()(y)
         if x.shape[-1] != self.filters or self.stride != 1:
             x = nn.Conv(self.filters, (1, 1), (self.stride, self.stride),
@@ -65,7 +68,8 @@ class BottleneckBlock(nn.Module):
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(norm()(y))
         y = nn.Conv(self.filters, (3, 3), (self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(y)
         y = nn.relu(norm()(y))
         y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
         y = norm()(y)
@@ -97,10 +101,13 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> dict:
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="stem")(x)
+        # torch-parity padding: conv1 pads (3,3), the stem max-pool (1,1) —
+        # flax SAME would pad (2,3)/(0,1) and shift every window one pixel
+        x = nn.Conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="stem")(x)
         x = nn.relu(_frozen_norm(self.dtype)(name="stem_bn")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")  # /4
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))  # /4
         feats = {}
         filters = 64
         for si, n_blocks in enumerate(self.stage_sizes):

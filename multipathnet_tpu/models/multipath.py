@@ -53,8 +53,14 @@ class MultiPathNet(nn.Module):
 
     def features(self, images: jnp.ndarray, train: bool = False) -> dict:
         """images (B, H, W, 3) normalized float -> {"c3","c4","c5"} NHWC,
-        each 1x1-reduced to skip_reduce_dim channels (see setup)."""
+        each 1x1-reduced to skip_reduce_dim channels (see setup).
+
+        roi_mode="max" returns the RAW trunk maps: max pooling is not
+        linear, so the reduction cannot be hoisted before it — pool_rois
+        applies the reference order (pool raw -> concat -> 1x1 reduce)."""
         feats = self.backbone(images, train=train)
+        if self.cfg.roi_mode == "max":
+            return {l: feats[l] for l in self.cfg.skip_levels}
         return {l: self.reduce[l](feats[l]) for l in self.cfg.skip_levels}
 
     def pool_rois(self, feats: dict, rois: jnp.ndarray,
@@ -75,6 +81,9 @@ class MultiPathNet(nn.Module):
         strides = self.backbone.feature_strides
         scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
         feats_list = [feats[l] for l in self.cfg.skip_levels]
+
+        if self.cfg.roi_mode == "max":
+            return self._pool_rois_max(feats, rois, image_hw, scales)
 
         if impl == "direct":
             def wrapper(*args):
@@ -120,28 +129,65 @@ class MultiPathNet(nn.Module):
         vflat = views.reshape(-1, 4)
         img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)
         interp = jax.default_backend() != "tpu"
-        out = None
+        c = feats[self.cfg.skip_levels[0]].shape[-1]
+        assert all(feats[l].shape[-1] == c for l in self.cfg.skip_levels), (
+            "pre-reduced skip levels must share C")
+        # Mosaic can't lane-merge sub-128-channel windows: pad up to the
+        # lane width — moot for production configs (levels are pre-reduced
+        # to skip_reduce_dim=512) but kept for small test configs.
+        # Interpret mode (CPU tests) has no lane constraint.
+        pad_c = 0 if interp else (-c) % 128
+        flats, metas = [], []
         for l in self.cfg.skip_levels:
-            c = feats[l].shape[-1]
-            # Mosaic can't lane-merge sub-128-channel windows: pad such
-            # levels up to the lane width — moot for production configs now
-            # that levels are pre-reduced to skip_reduce_dim (512), but kept
-            # for ad-hoc configs pooling raw sub-128-channel maps.
-            # Interpret mode (CPU tests) has no lane constraint; skip the
-            # blowup there (tests/test_roi_pallas.py covers padding).
-            pad_c = 0 if interp else (-c) % 128
             lvl_feats = feats[l]
             if pad_c:
                 lvl_feats = jnp.pad(
                     lvl_feats, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
             flat_all, meta = roi_pyramid.build_pyramid_batch(
                 lvl_feats, scales[l], output_size=g)
-            pooled = roi_pallas.batched_pyramid_pool(
-                flat_all, meta, vflat, img_idx, output_size=g,
+            flats.append(flat_all)
+            metas.append(meta)
+        # ONE fused kernel pass: L windows DMA'd per view, level sum in
+        # registers, single output write (roi_pallas multi-level notes)
+        out = roi_pallas.batched_pyramid_pool_multi(
+            flats, metas, vflat, img_idx, output_size=g,
+            samples_per_bin=self.cfg.roi_samples_per_bin,
+            interpret=interp, trainable=train)[..., :c]
+        return out.reshape(b, nf, r, g, g, c)
+
+    def _pool_rois_max(self, feats: dict, rois: jnp.ndarray,
+                       image_hw: tuple, scales: dict) -> jnp.ndarray:
+        """Reference-exact path (cfg.roi_mode="max"): max-pool the RAW trunk
+        maps with inn.ROIPooling semantics, concat levels, THEN apply the 1x1
+        reduction — the reference's operation order, which cannot be hoisted
+        because max is not linear. Routed to the XLA oracle ops (the Pallas
+        kernel is avg-only by design); intended for mAP-parity evaluation
+        against Torch checkpoints, not the production fast path."""
+        import jax
+
+        from multipathnet_tpu.ops import roi as roi_ops
+
+        def wrapper(*args):
+            f_b = dict(zip(self.cfg.skip_levels, args[:-1]))
+            return roi_ops.multilevel_foveal_roi_features(
+                f_b, args[-1], scales=scales,
+                foveal_factors=self.cfg.foveal_scales,
+                image_hw=image_hw,
+                output_size=self.cfg.roi_output_size,
                 samples_per_bin=self.cfg.roi_samples_per_bin,
-                interpret=interp, trainable=train)[..., :c]
-            out = pooled if out is None else out + pooled
-        return out.reshape(b, nf, r, g, g, out.shape[-1])
+                mode="exact_max", combine="concat",
+            )
+
+        feats_list = [feats[l] for l in self.cfg.skip_levels]
+        pooled = jax.vmap(wrapper)(*feats_list, rois)  # (B, F, R, g, g, sumC)
+        b, f, r, g, _, _ = pooled.shape
+        out = None
+        for l in self.cfg.skip_levels:
+            c_l = feats[l].shape[-1]
+            part, pooled = pooled[..., :c_l], pooled[..., c_l:]
+            red = self.reduce[l](part.reshape(b * f * r, g, g, c_l))
+            out = red if out is None else out + red
+        return out.reshape(b, f, r, g, g, out.shape[-1])
 
     def predict_rois(self, pooled: jnp.ndarray, train: bool = False):
         """pooled (B, F, R, G, G, C) -> scores (B, R, K, C), deltas (B, R, D).

@@ -167,16 +167,25 @@ def multilevel_foveal_roi_features(
             r = box_ops.expand(rois, f, image_hw[0], image_hw[1])
         else:
             r = box_ops.expand(rois, f)
-        pooled = [
-            roi_align(
-                feats[l], r,
-                output_size=output_size,
-                spatial_scale=scales[l],
-                samples_per_bin=samples_per_bin,
-                mode=mode,
-            )
-            for l in levels
-        ]
+        if mode == "exact_max":
+            # reference-exact inn.ROIPooling semantics (integer bin extents,
+            # max over covered cells) — see roi_pool_max
+            pooled = [
+                roi_pool_max(feats[l], r, output_size=output_size,
+                             spatial_scale=scales[l])
+                for l in levels
+            ]
+        else:
+            pooled = [
+                roi_align(
+                    feats[l], r,
+                    output_size=output_size,
+                    spatial_scale=scales[l],
+                    samples_per_bin=samples_per_bin,
+                    mode=mode,
+                )
+                for l in levels
+            ]
         if combine == "sum":
             out_per_f.append(sum(pooled))
         else:

@@ -246,3 +246,196 @@ def batched_pyramid_pool(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
                                      interpret)
     return pallas_window_pool(flat_batch, row0, x0, wy, wx, tile=tile,
                               interpret=interpret)
+
+# ---------------------------------------------------------------------------
+# Multi-level fused pooling: one grid pass, L windows DMA'd per view, the
+# level SUM accumulated in registers, ONE output write. Used by the skip-
+# connection path after the per-level 1x1 reduction (all levels share C):
+# sum_l(pool_l(reduce_l(f))) == reference reduce(concat_l(pool_l(f))).
+# vs L separate pallas_window_pool calls + XLA add: saves (L-1) full output
+# writes + L reads + (L-1) adds of the (N, G, G, C) tensor (~9.6 GB of HBM
+# traffic at bench shapes) and overlaps all L DMAs per view.
+# ---------------------------------------------------------------------------
+
+
+def _multi_window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, *refs,
+                              tile: int, g: int, n_levels: int):
+    """Grid step: DMA tile x L windows (double buffered), per-view two-stage
+    matmul per level, SUM over levels in f32, one write.
+
+    row0_ref/x0_ref: (L, Npad) SMEM. wy_ref (L, tile, G, WINDOW),
+    wx_ref (L, tile, G, WINDOW_X) VMEM blocks. refs = L flat pyramids in
+    HBM + out_ref + win scratch (2, tile, L, WINDOW, WINDOW_X, C) + sems.
+    """
+    flats = refs[:n_levels]
+    out_ref, win, sems = refs[n_levels], refs[n_levels + 1], refs[n_levels + 2]
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    c = flats[0].shape[-1]
+
+    def dma(step, slot, t, lv):
+        v = step * tile + t
+        return pltpu.make_async_copy(
+            flats[lv].at[pl.ds(row0_ref[lv, v], WINDOW),
+                         pl.ds(pl.multiple_of(x0_ref[lv, v], 8), WINDOW_X), :],
+            win.at[slot, t, lv],
+            sems.at[slot, t, lv],
+        )
+
+    def start_all(step, slot):
+        for t in range(tile):
+            for lv in range(n_levels):
+                dma(step, slot, t, lv).start()
+
+    @pl.when(i == 0)
+    def _():
+        start_all(0, 0)
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        start_all(i + 1, (i + 1) % 2)
+
+    slot = i % 2
+    for t in range(tile):
+        m1s = []
+        for lv in range(n_levels):
+            dma(i, slot, t, lv).wait()
+            w = win[slot, t, lv]                      # (10, 16, C) bf16
+            wy = wy_ref[lv, t].astype(w.dtype)        # (G, 10)
+            m1s.append(jax.lax.dot_general(
+                wy, w.reshape(WINDOW, WINDOW_X * c),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(g, WINDOW_X, c))                # (G, 16, C) f32
+        for gi in range(g):
+            acc = None
+            for lv in range(n_levels):
+                wx = wx_ref[lv, t].astype(jnp.float32)  # (G, 16)
+                r = jax.lax.dot_general(
+                    wx, m1s[lv][gi],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                     # (G, C)
+                acc = r if acc is None else acc + r
+            out_ref[t, gi] = acc.astype(out_ref.dtype)
+
+
+def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
+                             tile: int = 8,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Level-summed window pooling.
+
+    flats: list of L (rows_l, Wmax_l, C) pyramids (same C); row0s/x0s/wys/wxs:
+    lists of per-level geometry ((N,), (N,), (N, G, WINDOW), (N, G, WINDOW_X)).
+    Returns (N, G, G, C) = sum over levels of the per-level pooled features.
+    """
+    nl = len(flats)
+    assert nl >= 1 and len({f.shape[-1] for f in flats}) == 1
+    n, g = wys[0].shape[:2]
+    c = flats[0].shape[-1]
+    n_pad = ((n + tile - 1) // tile) * tile
+    pad = n_pad - n
+
+    row0 = jnp.stack([jnp.pad(r, (0, pad)) for r in row0s])  # (L, Npad)
+    x0 = jnp.stack([jnp.pad(x, (0, pad)) for x in x0s])
+    wy = jnp.stack([jnp.pad(w, ((0, pad), (0, 0), (0, 0))) for w in wys])
+    wx = jnp.stack([jnp.pad(w, ((0, pad), (0, 0), (0, 0))) for w in wxs])
+
+    grid = (n_pad // tile,)
+    out = pl.pallas_call(
+        partial(_multi_window_pool_kernel, tile=tile, g=g, n_levels=nl),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, x0 in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nl, tile, g, WINDOW),
+                             lambda i, *_: (0, i, 0, 0)),
+                pl.BlockSpec((nl, tile, g, WINDOW_X),
+                             lambda i, *_: (0, i, 0, 0)),
+            ] + [pl.BlockSpec(memory_space=pl.ANY)] * nl,
+            out_specs=pl.BlockSpec((tile, g, g, c),
+                                   lambda i, *_: (i, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile, nl, WINDOW, WINDOW_X, c),
+                           flats[0].dtype),
+                pltpu.SemaphoreType.DMA((2, tile, nl)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, g, g, c), flats[0].dtype),
+        interpret=interpret,
+    )(row0.astype(jnp.int32), x0.astype(jnp.int32),
+      wy.astype(jnp.float32), wx.astype(jnp.float32), *flats)
+    return out[:n]
+
+
+def _multi_pool(flats, row0s, x0s, wys, wxs, tile, interpret):
+    return pallas_window_pool_multi(flats, row0s, x0s, wys, wxs,
+                                    tile=tile, interpret=interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def multi_window_pool_trainable(flats, row0s, x0s, wys, wxs,
+                                tile=8, interpret=False):
+    """Differentiable level-summed pooling: fused Pallas forward + one
+    windowed scatter-add per level backward (grads flow to `flats` only)."""
+    return _multi_pool(flats, row0s, x0s, wys, wxs, tile, interpret)
+
+
+def _mwpt_fwd(flats, row0s, x0s, wys, wxs, tile, interpret):
+    out = _multi_pool(flats, row0s, x0s, wys, wxs, tile, interpret)
+    stubs = [jnp.broadcast_to(jnp.zeros((), f.dtype), f.shape) for f in flats]
+    return out, (stubs, row0s, x0s, wys, wxs)
+
+
+def _mwpt_bwd(tile, interpret, res, g):
+    stubs, row0s, x0s, wys, wxs = res
+    g = g.astype(jnp.float32)
+    grads = []
+    for stub, row0, x0, wy, wx in zip(stubs, row0s, x0s, wys, wxs):
+        m = jnp.einsum("ngy,nghc->nyhc", wy, g)       # (N, 10, G, C)
+        gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)    # (N, 10, 16, C)
+        idx = jnp.stack([row0, x0], axis=-1).astype(jnp.int32)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3),
+            inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1),
+        )
+        grads.append(jax.lax.scatter_add(
+            jnp.zeros(stub.shape, jnp.float32), idx, gwin, dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.CLIP,
+        ).astype(stub.dtype))
+    return grads, None, None, None, None
+
+
+multi_window_pool_trainable.defvjp(_mwpt_fwd, _mwpt_bwd)
+
+
+def batched_pyramid_pool_multi(flat_batches, pyr_metas, rois_views_per_level,
+                               img_idx, *, output_size: int = 7,
+                               samples_per_bin: int = 2, tile: int = 8,
+                               interpret: bool = False,
+                               trainable: bool = False) -> jnp.ndarray:
+    """Level-summed pooling over batched pyramids (see batched_pyramid_pool).
+
+    flat_batches: list of L (B * rows_l, Wmax_l, C) stacked pyramids;
+    pyr_metas: list of L single-image Pyramid metas;
+    rois_views_per_level: ONE (N, 4) array shared by all levels.
+    Returns (N, G, G, C) summed over levels.
+    """
+    row0s, x0s, wys, wxs = [], [], [], []
+    for flat_b, meta in zip(flat_batches, pyr_metas):
+        rows_per_image = meta.flat.shape[0]
+        row0, x0, wy, wx = view_geometry(
+            meta, rois_views_per_level, output_size=output_size,
+            samples_per_bin=samples_per_bin)
+        row0s.append(row0 + img_idx.astype(jnp.int32) * rows_per_image)
+        x0s.append(x0)
+        wys.append(wy)
+        wxs.append(wx)
+    if trainable:
+        return multi_window_pool_trainable(
+            list(flat_batches), row0s, x0s, wys, wxs, tile, interpret)
+    return pallas_window_pool_multi(
+        list(flat_batches), row0s, x0s, wys, wxs, tile=tile,
+        interpret=interpret)

@@ -113,7 +113,7 @@ def make_train_step(model: MultiPathNet, cfg: Config, tx):
         gt_boxes = jax.vmap(flip_boxes)(batch.gt_boxes, sw, do_flip)
 
         canvases, scales = transforms.batch_resize_to_canvas(
-            images, d.image_size, batch.src_hws)
+            images, d.image_size, batch.src_hws, preprocess=m.preprocess)
         proposals = proposals * scales[:, None, None]
         gt_boxes = gt_boxes * scales[:, None, None]
 
@@ -211,7 +211,15 @@ class Trainer:
         cfg = self.cfg
         seed = cfg.train.seed if seed is None else seed
         b = 1
-        images = jnp.zeros((b, *cfg.data.image_size, 3), jnp.float32)
+        # Param shapes — hence flax init VALUES — are canvas-independent
+        # (convs + fixed-G ROI heads), so trace init on a small canvas: a
+        # full-size VGG init compile measured 100-250s through the axon
+        # tunnel (round-1 bench.py note / VERDICT weak #6). 128px keeps
+        # c5 (stride 16) at 8x8 >= the 7x7 ROI grid. Canvas-independence is
+        # pinned by tests/test_train.py::test_init_canvas_independent.
+        h = min(128, cfg.data.image_size[0])
+        w = min(128, cfg.data.image_size[1])
+        images = jnp.zeros((b, h, w, 3), jnp.float32)
         rois = jnp.asarray([[[0, 0, 32, 32]]] * b, jnp.float32)
         params = self.model.init(jax.random.key(seed), images, rois)
         opt_state = self.tx.init(params)

@@ -241,3 +241,77 @@ def test_prereduce_equals_reference_concat_reduce():
     assert new.shape == ref.shape
     np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_roi_mode_max_reference_path():
+    """roi_mode='max' (reference-exact inn.ROIPooling semantics): pools RAW
+    trunk maps with integer-bin max, concats, THEN 1x1-reduces — verified
+    against a manual oracle composition."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.models.backbones import get_backbone
+    from multipathnet_tpu.models.multipath import MultiPathNet, build_model
+    from multipathnet_tpu.ops import roi as roi_ops
+
+    cfg = preset("tiny").model
+    cfg = dataclasses.replace(cfg, roi_mode="max", roi_impl="direct",
+                              train_roi_impl="direct", dtype="float32")
+    model = build_model(cfg)
+    rng = jax.random.key(5)
+    images = jax.random.uniform(rng, (1, 64, 64, 3))
+    rois = jnp.asarray([[[4, 4, 40, 40], [8, 16, 30, 60]]], jnp.float32)
+    params = model.init(jax.random.key(0), images, rois)
+    scores, deltas = model.apply(params, images, rois)
+    assert np.all(np.isfinite(np.asarray(scores)))
+    assert np.all(np.isfinite(np.asarray(deltas)))
+
+    # oracle: raw feats -> exact_max pool -> concat -> 1x1 reduce
+    feats = model.apply(params, images, method=MultiPathNet.features)
+    bb = get_backbone(cfg.backbone, jnp.float32)
+    raw = bb.apply({"params": params["params"]["backbone"]}, images)
+    # in max mode features() must return RAW maps
+    for l in cfg.skip_levels:
+        np.testing.assert_array_equal(np.asarray(feats[l]), np.asarray(raw[l]))
+
+    pooled = model.apply(params, feats, rois, (64, 64),
+                         method=MultiPathNet.pool_rois)
+    scales = {l: 1.0 / bb.feature_strides[l] for l in cfg.skip_levels}
+    want_cat = jax.vmap(lambda *a: roi_ops.multilevel_foveal_roi_features(
+        dict(zip(cfg.skip_levels, a[:-1])), a[-1], scales=scales,
+        foveal_factors=cfg.foveal_scales, image_hw=(64, 64),
+        output_size=cfg.roi_output_size, mode="exact_max",
+        combine="concat"))(*[raw[l] for l in cfg.skip_levels], rois)
+    off = 0
+    want = None
+    for l in cfg.skip_levels:
+        c_l = raw[l].shape[-1]
+        w = params["params"][f"reduce_{l}"]["kernel"][0, 0]
+        part = want_cat[..., off:off + c_l] @ w
+        want = part if want is None else want + part
+        off += c_l
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_caffe_preprocess():
+    """caffe_bgr: BGR order, 0-255 mean-pixel subtraction, no std."""
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.data import transforms as T
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[..., 0] = 200  # R
+    img[..., 1] = 150  # G
+    img[..., 2] = 100  # B
+    out = np.asarray(T.normalize(jnp.asarray(img), "caffe_bgr"))
+    np.testing.assert_allclose(out[0, 0, 0], 100 - 102.9801, atol=1e-4)  # B
+    np.testing.assert_allclose(out[0, 0, 1], 150 - 115.9465, atol=1e-4)  # G
+    np.testing.assert_allclose(out[0, 0, 2], 200 - 122.7717, atol=1e-4)  # R
+    # rgb_unit unchanged default
+    out2 = np.asarray(T.normalize(jnp.asarray(img)))
+    np.testing.assert_allclose(
+        out2[0, 0, 0], (200 / 255 - 0.485) / 0.229, atol=1e-4)

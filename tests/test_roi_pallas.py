@@ -121,3 +121,63 @@ def test_channel_padding_preserves_values():
     np.testing.assert_allclose(np.asarray(pooled_p[..., :8]),
                                np.asarray(base), atol=1e-5)
     np.testing.assert_allclose(np.asarray(pooled_p[..., 8:]), 0.0, atol=1e-6)
+
+
+def _multi_fixture(n=10, c=8, seed=21):
+    rng = np.random.default_rng(seed)
+    f3 = jnp.asarray(rng.standard_normal((32, 48, c)), jnp.float32)
+    f4 = jnp.asarray(rng.standard_normal((16, 24, c)), jnp.float32)
+    f5 = jnp.asarray(rng.standard_normal((8, 12, c)), jnp.float32)
+    pyrs = [RP.build_pyramid(f3, 0.25), RP.build_pyramid(f4, 0.125),
+            RP.build_pyramid(f5, 0.0625)]
+    x1 = rng.uniform(0, 100, n).astype(np.float32)
+    y1 = rng.uniform(0, 60, n).astype(np.float32)
+    w = rng.uniform(8, 90, n).astype(np.float32)
+    h = rng.uniform(8, 60, n).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    return pyrs, rois
+
+
+def test_multi_level_kernel_matches_per_level_sum():
+    """Fused multi-level kernel == sum of single-level kernel calls == sum of
+    XLA pyramid oracles."""
+    pyrs, rois = _multi_fixture()
+    geos = [RK.view_geometry(p, rois) for p in pyrs]
+    fused = RK.pallas_window_pool_multi(
+        [p.flat for p in pyrs],
+        [g[0] for g in geos], [g[1] for g in geos],
+        [g[2] for g in geos], [g[3] for g in geos],
+        tile=4, interpret=True)
+    single = sum(RK.pallas_window_pool(p.flat, *g, tile=4, interpret=True)
+                 for p, g in zip(pyrs, geos))
+    oracle = sum(RP.pyramid_roi_align(p, rois) for p in pyrs)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(single),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               atol=1e-4)
+
+
+def test_multi_level_trainable_grads_match_per_level():
+    """Custom-VJP backward of the fused kernel == per-level trainable grads."""
+    pyrs, rois = _multi_fixture(n=6)
+    geos = [RK.view_geometry(p, rois) for p in pyrs]
+    flats = [p.flat for p in pyrs]
+    args = ([g[0] for g in geos], [g[1] for g in geos],
+            [g[2] for g in geos], [g[3] for g in geos])
+
+    def loss_fused(fs):
+        out = RK.multi_window_pool_trainable(fs, *args, 4, True)
+        return jnp.sum(out * out)
+
+    def loss_single(fs):
+        total = sum(
+            RK.window_pool_trainable(f, g[0], g[1], g[2], g[3], 4, True)
+            for f, g in zip(fs, geos))
+        return jnp.sum(total * total)
+
+    v1, g1 = jax.value_and_grad(loss_fused)(flats)
+    v2, g2 = jax.value_and_grad(loss_single)(flats)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

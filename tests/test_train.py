@@ -210,3 +210,22 @@ def test_integral_loss_agg():
     assert abs(float(mm["loss_cls"]) - per_head / k) < 1e-5
     assert abs(float(total_m)
                - (per_head / k + 2.0 * float(mm["loss_bbox"]))) < 1e-5
+
+
+def test_init_canvas_independent():
+    """Trainer.init_state traces model.init on a small canvas (the full-size
+    VGG init compile measured 100-250s through the axon tunnel). Param VALUES
+    must not depend on the canvas: flax initializers see only shapes + RNG."""
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.models.multipath import build_model
+
+    cfg = preset("tiny").model
+    model = build_model(cfg)
+    rois = jnp.asarray([[[0, 0, 32, 32]]], jnp.float32)
+    p64 = model.init(jax.random.key(0),
+                     jnp.zeros((1, 64, 64, 3), jnp.float32), rois)
+    p128 = model.init(jax.random.key(0),
+                      jnp.zeros((1, 128, 128, 3), jnp.float32), rois)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p64, p128)
