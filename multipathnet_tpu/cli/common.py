@@ -18,7 +18,11 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--set", action="append", default=[], metavar="K=V",
                    help="override config fields, e.g. --set train.lr=0.002 "
                         "--set model.backbone=resnet18")
-    p.add_argument("--dataset-root", default="", help="COCO-format root")
+    p.add_argument("--dataset-root", default="",
+                   help="dataset root (COCO layout, or VOCdevkit for --dataset voc)")
+    p.add_argument("--dataset", default="coco", choices=("coco", "voc"),
+                   help="annotation format: COCO JSON or PASCAL VOC XML")
+    p.add_argument("--voc-year", default="2007")
     p.add_argument("--split", default="synthetic")
     p.add_argument("--annotations", default="",
                    help="instances JSON (defaults under dataset root)")
@@ -72,6 +76,32 @@ def resolve_data(args, cfg: Config):
     from multipathnet_tpu.data.proposals import ProposalStore
 
     root = args.dataset_root
+    if getattr(args, "dataset", "coco") == "voc":
+        from multipathnet_tpu.data.voc import VocLoader
+
+        split = args.split if args.split != "synthetic" else "test"
+        year = getattr(args, "voc_year", "2007")
+        if args.synthetic:
+            if not root:
+                import tempfile
+
+                root = tempfile.mkdtemp(prefix="mpnet_voc_")
+            marker = os.path.join(root, f"VOC{year}", "ImageSets", "Main",
+                                  f"{split}.txt")
+            if not os.path.exists(marker):
+                size = max(cfg.data.image_size)
+                synthetic.generate_voc(
+                    root, num_images=16, image_size=min(size, 256),
+                    num_classes=min(cfg.model.num_classes - 1, 20),
+                    proposals_per_image=min(cfg.data.max_proposals, 64),
+                    split=split, year=year, seed=cfg.train.seed)
+        if not root:
+            raise SystemExit("--dataset-root required (or use --synthetic)")
+        loader = VocLoader(root, split=split, year=year)
+        prop_path = args.proposals or os.path.join(
+            root, f"proposals_voc_{split}.npz")
+        return loader, ProposalStore.load(prop_path)
+
     if args.synthetic:
         if not root:
             import tempfile

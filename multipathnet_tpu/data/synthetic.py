@@ -170,3 +170,108 @@ def generate(
     ProposalStore.from_lists(prop_boxes, prop_scores, image_ids).save(prop_path)
     return {"root": root, "annotations": ann_path, "images": img_dir,
             "proposals": prop_path, "split": split}
+
+
+def generate_voc(
+    root: str,
+    *,
+    num_images: int = 16,
+    image_size: int = 64,
+    num_classes: int = 4,
+    max_objects: int = 4,
+    proposals_per_image: int = 32,
+    jitter: float = 0.1,
+    seed: int = 0,
+    split: str = "test",
+    year: str = "2007",
+    difficult_frac: float = 0.0,
+) -> dict:
+    """Write a VOCdevkit/VOC{year} tree (Annotations XML + JPEGImages +
+    ImageSets/Main/{split}.txt) with the same synthetic scenes as generate(),
+    plus proposals keyed by numeric image id. Class names are the first
+    `num_classes` standard VOC classes so VocLoader's default mapping holds.
+    `difficult_frac` marks that fraction of objects difficult (VOC-eval
+    ignore semantics)."""
+    import xml.etree.ElementTree as ET
+
+    from PIL import Image
+
+    from multipathnet_tpu.data.voc import VOC_CLASSES
+
+    assert num_classes <= len(VOC_CLASSES)
+    rng = np.random.default_rng(seed)
+    s = image_size
+    base = os.path.join(root, f"VOC{year}")
+    ann_dir = os.path.join(base, "Annotations")
+    img_dir = os.path.join(base, "JPEGImages")
+    set_dir = os.path.join(base, "ImageSets", "Main")
+    for d in (ann_dir, img_dir, set_dir):
+        os.makedirs(d, exist_ok=True)
+
+    ids, prop_boxes, prop_scores, image_ids = [], [], [], []
+    for i in range(num_images):
+        img_id = 1000 + i
+        sid = f"{img_id:06d}"
+        img = np.full((s, s, 3), 16, np.uint8)
+        img += rng.integers(0, 8, (s, s, 3), dtype=np.uint8)
+        n_obj = int(rng.integers(1, max_objects + 1))
+
+        xroot = ET.Element("annotation")
+        ET.SubElement(xroot, "filename").text = f"{sid}.png"
+        size_el = ET.SubElement(xroot, "size")
+        ET.SubElement(size_el, "width").text = str(s)
+        ET.SubElement(size_el, "height").text = str(s)
+        ET.SubElement(size_el, "depth").text = "3"
+
+        gt = []
+        for _ in range(n_obj):
+            cls = int(rng.integers(0, num_classes))
+            bw = rng.uniform(0.15 * s, 0.45 * s)
+            bh = rng.uniform(0.15 * s, 0.45 * s)
+            x1 = rng.uniform(0, s - bw - 1)
+            y1 = rng.uniform(0, s - bh - 1)
+            _draw(img, cls, x1, y1, x1 + bw, y1 + bh)
+            gt.append((cls, x1, y1, bw, bh))
+            obj = ET.SubElement(xroot, "object")
+            ET.SubElement(obj, "name").text = VOC_CLASSES[cls]
+            ET.SubElement(obj, "difficult").text = str(
+                int(rng.uniform() < difficult_frac))
+            bb = ET.SubElement(obj, "bndbox")
+            # 0-based half-open -> VOC 1-based inclusive
+            ET.SubElement(bb, "xmin").text = str(round(x1 + 1, 2))
+            ET.SubElement(bb, "ymin").text = str(round(y1 + 1, 2))
+            ET.SubElement(bb, "xmax").text = str(round(x1 + bw, 2))
+            ET.SubElement(bb, "ymax").text = str(round(y1 + bh, 2))
+
+        Image.fromarray(img).save(os.path.join(img_dir, f"{sid}.png"))
+        ET.ElementTree(xroot).write(os.path.join(ann_dir, f"{sid}.xml"))
+        ids.append(sid)
+
+        pb, ps = [], []
+        for cls, x1, y1, bw, bh in gt:
+            for _ in range(max(proposals_per_image // (2 * n_obj), 2)):
+                dx, dy = rng.normal(0, jitter * bw), rng.normal(0, jitter * bh)
+                dw = bw * np.exp(rng.normal(0, jitter))
+                dh = bh * np.exp(rng.normal(0, jitter))
+                nx1 = np.clip(x1 + dx, 0, s - 2)
+                ny1 = np.clip(y1 + dy, 0, s - 2)
+                pb.append([nx1, ny1, min(nx1 + dw, s - 1),
+                           min(ny1 + dh, s - 1)])
+                ps.append(rng.uniform(0.5, 1.0))
+        while len(pb) < proposals_per_image:
+            bw = rng.uniform(0.1 * s, 0.5 * s)
+            bh = rng.uniform(0.1 * s, 0.5 * s)
+            x1 = rng.uniform(0, s - bw - 1)
+            y1 = rng.uniform(0, s - bh - 1)
+            pb.append([x1, y1, x1 + bw, y1 + bh])
+            ps.append(rng.uniform(0.0, 0.6))
+        prop_boxes.append(np.asarray(pb[:proposals_per_image], np.float32))
+        prop_scores.append(np.asarray(ps[:proposals_per_image], np.float32))
+        image_ids.append(img_id)
+
+    with open(os.path.join(set_dir, f"{split}.txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    prop_path = os.path.join(root, f"proposals_voc_{split}.npz")
+    ProposalStore.from_lists(prop_boxes, prop_scores, image_ids).save(prop_path)
+    return {"root": root, "devkit": root, "base": base, "split": split,
+            "proposals": prop_path}

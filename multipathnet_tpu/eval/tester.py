@@ -44,16 +44,20 @@ def groundtruth_to_coco(loader) -> list[dict]:
     for i in range(len(loader)):
         ann = loader.annotations(i)
         img_id = loader.image_id(i)
-        for box, cls, crowd, area in zip(ann["boxes"], ann["classes"],
-                                         ann["iscrowd"], ann["areas"]):
+        difficult = ann.get("difficult")
+        for k, (box, cls, crowd, area) in enumerate(zip(
+                ann["boxes"], ann["classes"], ann["iscrowd"], ann["areas"])):
             x1, y1, x2, y2 = (float(v) for v in box)
-            gts.append({
+            g = {
                 "image_id": int(img_id),
                 "category_id": int(loader.label_to_cat[int(cls)]),
                 "bbox": [x1, y1, x2 - x1, y2 - y1],
                 "area": float(area),
                 "iscrowd": bool(crowd),
-            })
+            }
+            if difficult is not None:
+                g["difficult"] = bool(difficult[k])  # VOC ignore semantics
+            gts.append(g)
     return gts
 
 
@@ -85,7 +89,10 @@ class Tester:
                 break
         return results
 
-    def test(self, max_images: int = None, verbose: bool = False) -> dict:
+    def test(self, max_images: int = None, verbose: bool = False,
+             protocol: str = None) -> dict:
+        """protocol: "coco" (AP .5:.95 table) or "voc" (devkit mAP).
+        Default: the loader's declared protocol (VocLoader) else COCO."""
         dets = self.collect_detections(max_images)
         gts = groundtruth_to_coco(self.loader)
         if max_images:
@@ -93,4 +100,11 @@ class Tester:
                         for i in range(min(max_images, len(self.loader)))}
             gts = [g for g in gts if g["image_id"] in keep_ids]
             dets = [d for d in dets if d["image_id"] in keep_ids]
+        protocol = protocol or getattr(self.loader, "protocol", "coco")
+        if protocol == "voc":
+            from multipathnet_tpu.eval.voc_eval import evaluate_voc
+
+            res = evaluate_voc(gts, dets)
+            return {"mAP": res["mAP"],
+                    **{f"AP_{c}": v for c, v in res["AP_per_class"].items()}}
         return CocoEvaluator().evaluate(gts, dets, verbose=verbose)
