@@ -29,6 +29,8 @@ def main(argv=None) -> None:
     p.add_argument("--eval-every", type=int, default=0,
                    help="run the tester every N steps (0 = only at end)")
     p.add_argument("--no-final-eval", action="store_true")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also export scalars to <checkpoint_dir>/tb")
     args = p.parse_args(argv)
 
     cfg = common.build_config(args)
@@ -61,8 +63,10 @@ def main(argv=None) -> None:
                              batch_size=cfg.train.batch_size,
                              seed=cfg.train.seed)
     ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "ckpt"))
-    logger = MetricsLogger(os.path.join(cfg.train.checkpoint_dir,
-                                        "metrics.jsonl"))
+    logger = MetricsLogger(
+        os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl"),
+        tensorboard_dir=(os.path.join(cfg.train.checkpoint_dir, "tb")
+                         if args.tensorboard else None))
 
     state = trainer.init_state()
     if args.resume:

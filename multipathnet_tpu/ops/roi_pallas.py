@@ -259,13 +259,14 @@ def batched_pyramid_pool(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
 
 
 def _multi_window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, *refs,
-                              tile: int, g: int, n_levels: int):
-    """Grid step: DMA tile x L windows (double buffered), per-view two-stage
-    matmul per level, SUM over levels in f32, one write.
+                              tile: int, g: int, n_levels: int,
+                              nslots: int = 2):
+    """Grid step: DMA tile x L windows (nslots-deep buffered), per-view
+    two-stage matmul per level, SUM over levels in f32, one write.
 
     row0_ref/x0_ref: (L, Npad) SMEM. wy_ref (L, tile, G, WINDOW),
     wx_ref (L, tile, G, WINDOW_X) VMEM blocks. refs = L flat pyramids in
-    HBM + out_ref + win scratch (2, tile, L, WINDOW, WINDOW_X, C) + sems.
+    HBM + out_ref + win scratch (nslots, tile, L, WINDOW, WINDOW_X, C) + sems.
     """
     flats = refs[:n_levels]
     out_ref, win, sems = refs[n_levels], refs[n_levels + 1], refs[n_levels + 2]
@@ -289,13 +290,17 @@ def _multi_window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, *refs,
 
     @pl.when(i == 0)
     def _():
-        start_all(0, 0)
+        # prime the pipeline: steps 0..nslots-2 (grid-clamped)
+        for s_ in range(nslots - 1):
+            @pl.when(s_ < n_steps)
+            def _():
+                start_all(s_, s_)
 
-    @pl.when(i + 1 < n_steps)
+    @pl.when(i + nslots - 1 < n_steps)
     def _():
-        start_all(i + 1, (i + 1) % 2)
+        start_all(i + nslots - 1, (i + nslots - 1) % nslots)
 
-    slot = i % 2
+    slot = i % nslots
     for t in range(tile):
         m1s = []
         for lv in range(n_levels):
@@ -321,12 +326,14 @@ def _multi_window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, *refs,
 
 
 def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
-                             tile: int = 8,
+                             tile: int = 8, nslots: int = 2,
                              interpret: bool = False) -> jnp.ndarray:
     """Level-summed window pooling.
 
     flats: list of L (rows_l, Wmax_l, C) pyramids (same C); row0s/x0s/wys/wxs:
     lists of per-level geometry ((N,), (N,), (N, G, WINDOW), (N, G, WINDOW_X)).
+    nslots: DMA buffer depth (2 = classic double buffering; deeper keeps more
+    windows in flight at tile*L*window*C*nslots bytes of VMEM).
     Returns (N, G, G, C) = sum over levels of the per-level pooled features.
     """
     nl = len(flats)
@@ -343,7 +350,8 @@ def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
 
     grid = (n_pad // tile,)
     out = pl.pallas_call(
-        partial(_multi_window_pool_kernel, tile=tile, g=g, n_levels=nl),
+        partial(_multi_window_pool_kernel, tile=tile, g=g, n_levels=nl,
+                nslots=nslots),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # row0, x0 in SMEM
             grid=grid,
@@ -356,9 +364,9 @@ def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
             out_specs=pl.BlockSpec((tile, g, g, c),
                                    lambda i, *_: (i, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, tile, nl, WINDOW, WINDOW_X, c),
+                pltpu.VMEM((nslots, tile, nl, WINDOW, WINDOW_X, c),
                            flats[0].dtype),
-                pltpu.SemaphoreType.DMA((2, tile, nl)),
+                pltpu.SemaphoreType.DMA((nslots, tile, nl)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, g, g, c), flats[0].dtype),

@@ -221,7 +221,9 @@ class Trainer:
         w = min(128, cfg.data.image_size[1])
         images = jnp.zeros((b, h, w, 3), jnp.float32)
         rois = jnp.asarray([[[0, 0, 32, 32]]] * b, jnp.float32)
-        params = self.model.init(jax.random.key(seed), images, rois)
+        # jit: unjitted init dispatches hundreds of EAGER ops, each a ~25ms
+        # axon-tunnel round trip (measured 178s; jitted: one small compile)
+        params = jax.jit(self.model.init)(jax.random.key(seed), images, rois)
         opt_state = self.tx.init(params)
         state = TrainState(jnp.zeros((), jnp.int32), params, opt_state,
                            jax.random.key(seed + 1))

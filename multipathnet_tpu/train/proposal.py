@@ -137,9 +137,11 @@ class ProposalTrainer:
     def init_state(self, seed: int | None = None) -> TrainState:
         cfg = self.cfg
         seed = cfg.train.seed if seed is None else seed
-        images = jnp.zeros((1, *cfg.data.image_size, 3), jnp.float32)
+        h = min(128, cfg.data.image_size[0])
+        w = min(128, cfg.data.image_size[1])
+        images = jnp.zeros((1, h, w, 3), jnp.float32)
         rois = jnp.asarray([[[0, 0, 32, 32]]], jnp.float32)
-        params = self.model.init(jax.random.key(seed), images, rois)
+        params = jax.jit(self.model.init)(jax.random.key(seed), images, rois)
         state = TrainState(jnp.zeros((), jnp.int32), params,
                            self.tx.init(params), jax.random.key(seed + 1))
         return jax.device_put(state, self._repl)

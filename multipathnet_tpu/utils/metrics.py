@@ -2,8 +2,9 @@
 
 The reference printed loss/AP to stdout. Here: JSONL rows (one per log step)
 with step, walltime, lr, per-head losses, imgs/sec — machine-readable for the
-bench harness and greppable by humans. TensorBoard export can hang off the
-same rows later if wanted.
+bench harness and greppable by humans — plus optional TensorBoard scalar
+export (tensorboard_dir=...; uses the installed TF summary writer, degrades
+to a no-op with a warning if TF is unavailable).
 """
 
 from __future__ import annotations
@@ -15,24 +16,42 @@ from typing import Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str] = None, echo: bool = True):
+    def __init__(self, path: Optional[str] = None, echo: bool = True,
+                 tensorboard_dir: Optional[str] = None):
         self.path = path
         self.echo = echo
         self._f = None
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             self._f = open(path, "a", buffering=1)
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                # TF import is slow and optional — only paid when asked for
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except Exception as e:  # pragma: no cover - env without TF
+                print(f"metrics: TensorBoard export disabled ({e})")
         self._t0 = time.time()
 
     def log(self, step: int, **metrics) -> None:
         row = {"step": int(step), "time": round(time.time() - self._t0, 3)}
+        scalars = {}
         for k, v in metrics.items():
             try:
                 row[k] = round(float(v), 6)
+                scalars[k] = float(v)
             except (TypeError, ValueError):
                 row[k] = v
         if self._f:
             self._f.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(k, v, step=int(step))
         if self.echo:
             parts = " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -40,6 +59,11 @@ class MetricsLogger:
             )
             print(f"[{row['time']:8.1f}s] {parts}", flush=True)
 
+    def flush(self) -> None:
+        if self._tb is not None:
+            self._tb.flush()
+
     def close(self) -> None:
         if self._f:
             self._f.close()
+        self.flush()

@@ -44,3 +44,29 @@ def test_integral_softmax_averaging_protocol():
     assert not np.allclose(np.asarray(probs), np.asarray(logit_mean),
                            atol=1e-3)
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_metrics_tensorboard_export(tmp_path):
+    """Optional TB export writes event files readable by TF (SURVEY.md §5
+    metrics row: 'optional TensorBoard via TF')."""
+    import os
+
+    tf = pytest.importorskip("tensorflow")
+
+    from multipathnet_tpu.utils.metrics import MetricsLogger
+
+    tb = str(tmp_path / "tb")
+    m = MetricsLogger(str(tmp_path / "m.jsonl"), echo=False,
+                      tensorboard_dir=tb)
+    m.log(1, loss=2.5, lr=0.01)
+    m.log(2, loss=2.0, lr=0.01)
+    m.close()
+    files = [f for f in os.listdir(tb) if "tfevents" in f]
+    assert files, os.listdir(tb)
+    # round-trip one scalar
+    seen = {}
+    for e in tf.compat.v1.train.summary_iterator(os.path.join(tb, files[0])):
+        for v in e.summary.value:
+            if v.tag == "loss":
+                seen[e.step] = tf.make_ndarray(v.tensor).item()
+    assert seen.get(1) == 2.5 and seen.get(2) == 2.0, seen

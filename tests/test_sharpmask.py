@@ -72,15 +72,25 @@ def test_forward_and_generate_shapes(setup):
     assert np.all((s >= 0) & (s <= 1))
 
 
-@pytest.mark.slow
-def test_proposal_training_learns_objectness(setup):
+@pytest.fixture(scope="module")
+def trained_proposal_state(setup):
+    """30-epoch proposal-net overfit, shared by the slow tests below
+    (calibration 2026-08-16: recall@IoU.5 0.95@k16 / 1.00@k32, mean best
+    IoU 0.83 — 12 epochs gave only 0.86/0.61)."""
     cfg, trainer, pipe, loader = setup
     state = trainer.init_state()
     losses = []
-    for ep in range(12):
+    for ep in range(30):
         for batch in pipe.epoch(ep):
             state, m = trainer.step(state, batch)
             losses.append(float(m["loss"]))
+    return state, losses
+
+
+@pytest.mark.slow
+def test_proposal_training_learns_objectness(setup, trained_proposal_state):
+    cfg, trainer, pipe, loader = setup
+    state, losses = trained_proposal_state
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0] * 0.8, losses[:2] + losses[-2:]
 
@@ -102,3 +112,67 @@ def test_proposal_training_learns_objectness(setup):
         total += len(ann["boxes"])
     recall = hits / max(total, 1)
     assert recall >= 0.5, f"proposal recall@16 too low: {recall:.2f}"
+
+
+@pytest.mark.slow
+def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
+    """Quantify the SharpMask->MultiPath loop (BASELINE config 5, round-1
+    VERDICT #10): measure detector AP50 with *generated* proposals against
+    the GT-jittered proposal files, end to end.
+
+    Measured gap (CPU, 2026-08-16, 8 imgs @64px, 25 det epochs):
+    AP50 jittered ~0.70-0.78, generated ~0.23. Diagnosed as proposal
+    DISTRIBUTION shift, not coverage: generated recall@IoU.5 is 1.0 at k=32
+    and localization of final detections is good (IoU ~0.87), but the
+    anchor-derived box distribution differs from the tight GT-jitter
+    distribution the detector scores well on; per-head analysis shows
+    near-flat posteriors in both cases at this micro-scale, so ranking is
+    what separates them. The reference closes this gap by training on the
+    SAME proposal source it evals with (offline DeepMask files) at real
+    data scale. The assertions pin that both pipelines function end to end
+    and the measured operating points stay reproducible."""
+    from multipathnet_tpu.data.transforms import normalize
+    from multipathnet_tpu.eval.tester import Tester
+    from multipathnet_tpu.train.loop import Trainer
+
+    cfg, _, _, loader = setup
+    sm_state, _ = trained_proposal_state
+
+    # fresh jittered-proposal store (denser than the sharpmask fixture's 8)
+    root2 = loader.image_root + "_det"
+    fx = synthetic.generate(root2, num_images=8, image_size=64,
+                            num_classes=4, proposals_per_image=24, seed=21)
+    det_loader = CocoLoader(fx["annotations"], fx["images"])
+    jit_props = ProposalStore.load(fx["proposals"])
+
+    # train the detector on the jittered proposals (the reference workflow:
+    # offline proposal files feed training)
+    det = Trainer(cfg, mesh=make_mesh(n_data=2))
+    pipe = DetectionPipeline(det_loader, jit_props, cfg.data, batch_size=2,
+                             seed=0)
+    state = det.init_state()
+    for ep in range(25):
+        for batch in pipe.epoch(ep):
+            state, _ = det.step(state, batch)
+
+    # export generated proposals for the same images (in-process analog of
+    # cli/export_proposals)
+    sm_trainer = ProposalTrainer(cfg, mesh=make_mesh(n_data=2))
+    boxes_per, scores_per, ids = [], [], []
+    for i in range(len(det_loader)):
+        x = jnp.asarray(normalize(jnp.asarray(det_loader.load_image(i))))[None]
+        out = generate_proposals(sm_trainer.model, sm_state.params, x,
+                                 top_k=32, with_masks=False)
+        boxes_per.append(np.asarray(out["boxes"][0]))
+        scores_per.append(np.asarray(out["scores"][0]))
+        ids.append(det_loader.image_id(i))
+    gen_props = ProposalStore.from_lists(boxes_per, scores_per, ids)
+
+    ap_jit = Tester(det.model, state.params, cfg, det_loader, jit_props,
+                    batch_size=2).test()["AP50"]
+    ap_gen = Tester(det.model, state.params, cfg, det_loader, gen_props,
+                    batch_size=2).test()["AP50"]
+    print(f"AP50 jittered={ap_jit:.3f} generated={ap_gen:.3f}")
+    assert ap_jit > 0.5, f"detector failed to train: AP50={ap_jit:.3f}"
+    assert ap_gen > 0.12, (
+        f"self-generated proposal loop collapsed: AP50={ap_gen:.3f}")
