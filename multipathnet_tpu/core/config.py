@@ -25,6 +25,14 @@ class ModelConfig:
     # Backbone stages to ROI-pool for skip connections (MultiPath §3.2).
     # ("c5",) => plain Fast R-CNN single-level pooling.
     skip_levels: Tuple[str, ...] = ("c3", "c4", "c5")
+    # Which (foveal view x skip level) pairs are pooled. "reference" =
+    # SURVEY.md §3.1's call stack ("ROIPool x7"): the 1x view pools ALL skip
+    # levels, the context views (1.5/2/4x) pool only the LAST level — 7
+    # windows/ROI. "dense" = every view pools every level (SURVEY §2.2's
+    # "4x(foveal) x 3(skips)" reading — 12 windows/ROI, ~2x the ROI DMA).
+    # The empty reference mount makes both readings defensible; "reference"
+    # follows the explicit call-stack count and is the fast default.
+    foveal_topology: str = "reference"
     skip_reduce_dim: int = 512  # 1x1-conv channel reduction after skip concat
     # Integral-loss classifier heads: fg IoU thresholds (MultiPath §3.3).
     # A single (0.5,) => vanilla Fast R-CNN classification loss.
@@ -158,6 +166,17 @@ def preset(name: str) -> Config:
     elif name == "sharpmask_multipath_e2e":
         # config 5: SharpMask proposal generation -> MultiPath detection, ResNet
         c = _replace(c, "model", backbone="resnet50")
+    elif name == "multipath_vgg16_reference":
+        # reference-exact evaluation mode: inn.ROIPooling max semantics +
+        # Caffe-origin pixel pipeline (BGR, 0-255 mean-pixel). For mAP-parity
+        # runs against Torch checkpoints (BASELINE "within 0.3 mAP").
+        c = _replace(c, "model", roi_mode="max", preprocess="caffe_bgr",
+                     roi_impl="direct")
+    elif name == "multipath_resnet18_integral":
+        # the reference's released demo model family
+        # (resnet18_integral_coco.t7): ResNet-18 trunk, integral heads,
+        # Caffe-free torchvision preprocessing via import_weights
+        c = _replace(c, "model", backbone="resnet18")
     elif name == "tiny":
         # test-sized preset: everything shrunk so CPU tests run in seconds
         c = _replace(c, "model", backbone="tinynet", fc_dim=64, skip_reduce_dim=32,
@@ -181,5 +200,7 @@ PRESETS = (
     "multipath_vgg16_b1",
     "multipath_vgg16_batched",
     "multipath_vgg16_train",
+    "multipath_vgg16_reference",
+    "multipath_resnet18_integral",
     "sharpmask_multipath_e2e",
 )

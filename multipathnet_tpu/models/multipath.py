@@ -63,10 +63,22 @@ class MultiPathNet(nn.Module):
             return {l: feats[l] for l in self.cfg.skip_levels}
         return {l: self.reduce[l](feats[l]) for l in self.cfg.skip_levels}
 
+    def _view_level_plan(self):
+        """-> list of (foveal_factors tuple, levels tuple) groups, in foveal
+        order. "reference" topology (SURVEY.md §3.1 "ROIPool x7"): the 1x
+        view pools all skip levels, context views pool only the last level.
+        "dense" (§2.2 reading): every view pools every level."""
+        fs, ls = self.cfg.foveal_scales, self.cfg.skip_levels
+        if (self.cfg.foveal_topology == "dense" or len(fs) == 1
+                or len(ls) == 1):
+            return [(fs, ls)]
+        assert self.cfg.foveal_topology == "reference", self.cfg.foveal_topology
+        return [((fs[0],), ls), (tuple(fs[1:]), (ls[-1],))]
+
     def pool_rois(self, feats: dict, rois: jnp.ndarray,
                   image_hw: tuple, train: bool = False) -> jnp.ndarray:
         """feats: level -> (B, Hl, Wl, C); rois (B, R, 4) image coords.
-        -> (B, F, R, G, G, C_concat).
+        -> (B, F, R, G, G, C).
 
         Implementation per cfg.roi_impl (training pins "direct", the
         differentiable path — the Pallas kernel is forward-only)."""
@@ -80,54 +92,58 @@ class MultiPathNet(nn.Module):
 
         strides = self.backbone.feature_strides
         scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
-        feats_list = [feats[l] for l in self.cfg.skip_levels]
 
         if self.cfg.roi_mode == "max":
             return self._pool_rois_max(feats, rois, image_hw, scales)
 
-        if impl == "direct":
-            def wrapper(*args):
-                f_b = dict(zip(self.cfg.skip_levels, args[:-1]))
-                return roi_ops.multilevel_foveal_roi_features(
-                    f_b, args[-1], scales=scales,
-                    foveal_factors=self.cfg.foveal_scales,
-                    image_hw=image_hw,
-                    output_size=self.cfg.roi_output_size,
-                    samples_per_bin=self.cfg.roi_samples_per_bin,
-                    combine="sum",
-                )
+        plan = self._view_level_plan()
 
-            return jax.vmap(wrapper)(*feats_list, rois)
+        if impl == "direct":
+            def group(factors, levels):
+                def wrapper(*args):
+                    f_b = dict(zip(levels, args[:-1]))
+                    return roi_ops.multilevel_foveal_roi_features(
+                        f_b, args[-1], scales=scales,
+                        foveal_factors=factors,
+                        image_hw=image_hw,
+                        output_size=self.cfg.roi_output_size,
+                        samples_per_bin=self.cfg.roi_samples_per_bin,
+                        combine="sum",
+                    )
+
+                return jax.vmap(wrapper)(*[feats[l] for l in levels], rois)
+
+            return jnp.concatenate(
+                [group(fs_, ls_) for fs_, ls_ in plan], axis=1)
 
         from multipathnet_tpu.ops import boxes as box_ops
         from multipathnet_tpu.ops import roi_pallas, roi_pyramid
 
         if impl == "pyramid":  # XLA oracle of the kernel path
-            def wrapper(*args):
-                pyrs = {
-                    l: roi_pyramid.build_pyramid(
-                        f_b, scales[l], output_size=self.cfg.roi_output_size)
-                    for l, f_b in zip(self.cfg.skip_levels, args[:-1])
-                }
-                return roi_pyramid.multilevel_foveal_pyramid_features(
-                    pyrs, args[-1], foveal_factors=self.cfg.foveal_scales,
-                    image_hw=image_hw,
-                    output_size=self.cfg.roi_output_size,
-                    samples_per_bin=self.cfg.roi_samples_per_bin,
-                    combine="sum",
-                )
+            def group(factors, levels):
+                def wrapper(*args):
+                    pyrs = {
+                        l: roi_pyramid.build_pyramid(
+                            f_b, scales[l],
+                            output_size=self.cfg.roi_output_size)
+                        for l, f_b in zip(levels, args[:-1])
+                    }
+                    return roi_pyramid.multilevel_foveal_pyramid_features(
+                        pyrs, args[-1], foveal_factors=factors,
+                        image_hw=image_hw,
+                        output_size=self.cfg.roi_output_size,
+                        samples_per_bin=self.cfg.roi_samples_per_bin,
+                        combine="sum",
+                    )
 
-            return jax.vmap(wrapper)(*feats_list, rois)
+                return jax.vmap(wrapper)(*[feats[l] for l in levels], rois)
+
+            return jnp.concatenate(
+                [group(fs_, ls_) for fs_, ls_ in plan], axis=1)
 
         assert impl == "pallas", f"unknown roi_impl {impl!r}"
         b, r = rois.shape[:2]
         g = self.cfg.roi_output_size
-        nf = len(self.cfg.foveal_scales)
-        views = jnp.stack(
-            [box_ops.expand(rois, f, image_hw[0], image_hw[1])
-             for f in self.cfg.foveal_scales], axis=1)  # (B, F, R, 4)
-        vflat = views.reshape(-1, 4)
-        img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)
         interp = jax.default_backend() != "tpu"
         c = feats[self.cfg.skip_levels[0]].shape[-1]
         assert all(feats[l].shape[-1] == c for l in self.cfg.skip_levels), (
@@ -137,23 +153,36 @@ class MultiPathNet(nn.Module):
         # to skip_reduce_dim=512) but kept for small test configs.
         # Interpret mode (CPU tests) has no lane constraint.
         pad_c = 0 if interp else (-c) % 128
-        flats, metas = [], []
+        pyramids = {}
         for l in self.cfg.skip_levels:
             lvl_feats = feats[l]
             if pad_c:
                 lvl_feats = jnp.pad(
                     lvl_feats, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
-            flat_all, meta = roi_pyramid.build_pyramid_batch(
+            pyramids[l] = roi_pyramid.build_pyramid_batch(
                 lvl_feats, scales[l], output_size=g)
-            flats.append(flat_all)
-            metas.append(meta)
-        # ONE fused kernel pass: L windows DMA'd per view, level sum in
-        # registers, single output write (roi_pallas multi-level notes)
-        out = roi_pallas.batched_pyramid_pool_multi(
-            flats, metas, vflat, img_idx, output_size=g,
-            samples_per_bin=self.cfg.roi_samples_per_bin,
-            interpret=interp, trainable=train)[..., :c]
-        return out.reshape(b, nf, r, g, g, c)
+
+        # One fused kernel pass PER PLAN GROUP: the group's L windows are
+        # DMA'd per view, the level sum accumulates in registers, one output
+        # write (roi_pallas multi-level notes). "reference" topology runs
+        # 2 groups (1x view x all levels; context views x last level) = 7
+        # windows/ROI instead of dense's 12.
+        outs = []
+        for factors, levels in plan:
+            nf = len(factors)
+            views = jnp.stack(
+                [box_ops.expand(rois, f, image_hw[0], image_hw[1])
+                 for f in factors], axis=1)  # (B, nf, R, 4)
+            vflat = views.reshape(-1, 4)
+            img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)
+            out = roi_pallas.batched_pyramid_pool_multi(
+                [pyramids[l][0] for l in levels],
+                [pyramids[l][1] for l in levels],
+                vflat, img_idx, output_size=g,
+                samples_per_bin=self.cfg.roi_samples_per_bin,
+                interpret=interp, trainable=train)[..., :c]
+            outs.append(out.reshape(b, nf, r, g, g, c))
+        return jnp.concatenate(outs, axis=1)
 
     def _pool_rois_max(self, feats: dict, rois: jnp.ndarray,
                        image_hw: tuple, scales: dict) -> jnp.ndarray:
@@ -162,32 +191,36 @@ class MultiPathNet(nn.Module):
         reduction — the reference's operation order, which cannot be hoisted
         because max is not linear. Routed to the XLA oracle ops (the Pallas
         kernel is avg-only by design); intended for mAP-parity evaluation
-        against Torch checkpoints, not the production fast path."""
+        against Torch checkpoints, not the production fast path. Honors
+        foveal_topology via the same view x level plan as the align path."""
         import jax
 
         from multipathnet_tpu.ops import roi as roi_ops
 
-        def wrapper(*args):
-            f_b = dict(zip(self.cfg.skip_levels, args[:-1]))
-            return roi_ops.multilevel_foveal_roi_features(
-                f_b, args[-1], scales=scales,
-                foveal_factors=self.cfg.foveal_scales,
-                image_hw=image_hw,
-                output_size=self.cfg.roi_output_size,
-                samples_per_bin=self.cfg.roi_samples_per_bin,
-                mode="exact_max", combine="concat",
-            )
+        outs = []
+        for factors, levels in self._view_level_plan():
+            def wrapper(*args):
+                f_b = dict(zip(levels, args[:-1]))
+                return roi_ops.multilevel_foveal_roi_features(
+                    f_b, args[-1], scales=scales,
+                    foveal_factors=factors,
+                    image_hw=image_hw,
+                    output_size=self.cfg.roi_output_size,
+                    samples_per_bin=self.cfg.roi_samples_per_bin,
+                    mode="exact_max", combine="concat",
+                )
 
-        feats_list = [feats[l] for l in self.cfg.skip_levels]
-        pooled = jax.vmap(wrapper)(*feats_list, rois)  # (B, F, R, g, g, sumC)
-        b, f, r, g, _, _ = pooled.shape
-        out = None
-        for l in self.cfg.skip_levels:
-            c_l = feats[l].shape[-1]
-            part, pooled = pooled[..., :c_l], pooled[..., c_l:]
-            red = self.reduce[l](part.reshape(b * f * r, g, g, c_l))
-            out = red if out is None else out + red
-        return out.reshape(b, f, r, g, g, out.shape[-1])
+            pooled = jax.vmap(wrapper)(
+                *[feats[l] for l in levels], rois)  # (B, f, R, g, g, sumC)
+            b, f, r, g, _, _ = pooled.shape
+            out = None
+            for l in levels:
+                c_l = feats[l].shape[-1]
+                part, pooled = pooled[..., :c_l], pooled[..., c_l:]
+                red = self.reduce[l](part.reshape(b * f * r, g, g, c_l))
+                out = red if out is None else out + red
+            outs.append(out.reshape(b, f, r, g, g, out.shape[-1]))
+        return jnp.concatenate(outs, axis=1)
 
     def predict_rois(self, pooled: jnp.ndarray, train: bool = False):
         """pooled (B, F, R, G, G, C) -> scores (B, R, K, C), deltas (B, R, D).

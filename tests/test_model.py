@@ -203,8 +203,10 @@ def test_prereduce_equals_reference_concat_reduce():
     from multipathnet_tpu.ops import roi as roi_ops
 
     cfg = preset("tiny").model
+    # dense topology: this test pins the pre-reduce ALGEBRA (every view x
+    # every level); the view-level topology has its own test below
     cfg = dataclasses.replace(cfg, roi_impl="direct", train_roi_impl="direct",
-                              dtype="float32")
+                              dtype="float32", foveal_topology="dense")
     model = build_model(cfg)
     rng = jax.random.key(3)
     images = jax.random.uniform(rng, (2, 64, 64, 3))
@@ -259,7 +261,8 @@ def test_roi_mode_max_reference_path():
 
     cfg = preset("tiny").model
     cfg = dataclasses.replace(cfg, roi_mode="max", roi_impl="direct",
-                              train_roi_impl="direct", dtype="float32")
+                              train_roi_impl="direct", dtype="float32",
+                              foveal_topology="dense")
     model = build_model(cfg)
     rng = jax.random.key(5)
     images = jax.random.uniform(rng, (1, 64, 64, 3))
@@ -315,3 +318,61 @@ def test_caffe_preprocess():
     out2 = np.asarray(T.normalize(jnp.asarray(img)))
     np.testing.assert_allclose(
         out2[0, 0, 0], (200 / 255 - 0.485) / 0.229, atol=1e-4)
+
+
+def test_foveal_topology_reference_vs_dense():
+    """"reference" topology (SURVEY.md §3.1 "ROIPool x7"): the 1x view pools
+    ALL skip levels, context views pool only the LAST level. Verified against
+    a composed dense-oracle: slice the per-(view,level) pools accordingly."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.models.multipath import MultiPathNet, build_model
+    from multipathnet_tpu.ops import roi as roi_ops
+
+    base = preset("tiny").model
+    base = dataclasses.replace(base, roi_impl="direct",
+                               train_roi_impl="direct", dtype="float32")
+    ref_model = build_model(dataclasses.replace(
+        base, foveal_topology="reference"))
+    rng = jax.random.key(7)
+    images = jax.random.uniform(rng, (1, 64, 64, 3))
+    rois = jnp.asarray([[[4, 4, 40, 40], [8, 16, 30, 60]]], jnp.float32)
+    params = ref_model.init(jax.random.key(0), images, rois)
+
+    feats = ref_model.apply(params, images, method=MultiPathNet.features)
+    got = ref_model.apply(params, feats, rois, (64, 64),
+                          method=MultiPathNet.pool_rois)
+    assert got.shape[1] == len(base.foveal_scales)  # F preserved
+
+    # oracle: per-(view, level) single pools, then the reference combination
+    strides = {"c3": 4, "c4": 8, "c5": 16}
+    def pool_one(level, factors):
+        def w(f_map, r):
+            return roi_ops.multilevel_foveal_roi_features(
+                {level: f_map}, r, scales={level: 1.0 / strides[level]},
+                foveal_factors=factors, image_hw=(64, 64),
+                output_size=base.roi_output_size,
+                samples_per_bin=base.roi_samples_per_bin, combine="sum")
+        return jax.vmap(w)(feats[level], rois)
+
+    f0 = base.foveal_scales[:1]
+    rest = base.foveal_scales[1:]
+    want_1x = sum(pool_one(l, f0) for l in base.skip_levels)
+    want_ctx = pool_one(base.skip_levels[-1], rest)
+    want = jnp.concatenate([want_1x, want_ctx], axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # dense differs (context views gain c3/c4 content)
+    dense_model = build_model(dataclasses.replace(
+        base, foveal_topology="dense"))
+    got_d = dense_model.apply(params, feats, rois, (64, 64),
+                              method=MultiPathNet.pool_rois)
+    assert np.abs(np.asarray(got_d[:, 1:]) - np.asarray(got[:, 1:])).max() > 1e-3
+    # ...but the 1x view is identical in both topologies
+    np.testing.assert_allclose(np.asarray(got_d[:, 0]), np.asarray(got[:, 0]),
+                               rtol=1e-5, atol=1e-6)
