@@ -166,7 +166,12 @@ class MultiPathNet(nn.Module):
         # DMA'd per view, the level sum accumulates in registers, one output
         # write (roi_pallas multi-level notes). "reference" topology runs
         # 2 groups (1x view x all levels; context views x last level) = 7
-        # windows/ROI instead of dense's 12.
+        # windows/ROI instead of dense's 12. Single-level groups whose
+        # per-image pyramid fits the VMEM budget (c5 at 640^2 is ~3.3 MB)
+        # use the RESIDENT kernel instead: the pyramid is pipelined into
+        # VMEM once per image and windows become local copies — B*3 MB of
+        # HBM traffic instead of N*160 KB (docs/PERF.md, resident row).
+        resident_budget = 4 * 1024 * 1024  # bytes/image, 2x-buffered by Pallas
         outs = []
         for factors, levels in plan:
             nf = len(factors)
@@ -174,6 +179,18 @@ class MultiPathNet(nn.Module):
                 [box_ops.expand(rois, f, image_hw[0], image_hw[1])
                  for f in factors], axis=1)  # (B, nf, R, 4)
             vflat = views.reshape(-1, 4)
+            if len(levels) == 1 and not train:
+                meta = pyramids[levels[0]][1]
+                pyr_bytes = (meta.flat.shape[0] * meta.flat.shape[1]
+                             * meta.flat.shape[2] * meta.flat.dtype.itemsize)
+                if pyr_bytes <= resident_budget:
+                    out = roi_pallas.batched_pyramid_pool_resident(
+                        pyramids[levels[0]][0], meta, vflat, b,
+                        output_size=g,
+                        samples_per_bin=self.cfg.roi_samples_per_bin,
+                        interpret=interp, trainable=train)[..., :c]
+                    outs.append(out.reshape(b, nf, r, g, g, c))
+                    continue
             img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)
             out = roi_pallas.batched_pyramid_pool_multi(
                 [pyramids[l][0] for l in levels],

@@ -15,9 +15,15 @@ Design (see pallas_guide.md patterns: double buffering, PrefetchScalarGridSpec):
       commutes with the linear interpolation, so the sample axis disappears).
   kernel grid over view-tiles: double-buffered async DMA of each view's
       (WINDOW=10, WINDOW_X=16, C) window HBM->VMEM (the ONLY irregular
-      access, expressed as one strided DMA per view), then
-          m1 = Wy(G,10) @ win(10, 16C)          one MXU dot
-          out[i] = Wx(G,16) @ m1[i](16, C)      G small MXU dots (no transpose)
+      access, expressed as one strided DMA per view), then ONE GEMM per view
+          out = W2(G*G, 160) @ vec(window)(160, C)
+      with the combined weight W2 = wy (x) wx rebuilt in-kernel from the
+      tiny weight rows each grid step (_w2_all). Three kernel variants share
+      this compute: per-window DMA (pallas_window_pool), multi-level fused
+      (the level sum rides the GEMM as a K-concat), and VMEM-resident
+      (pallas_resident_pool — the whole per-image pyramid is pipelined into
+      VMEM and windows become direct dynamic-slice loads, for levels small
+      enough to fit; docs/PERF.md quantifies each step).
 
   Window sizing: bins span (0.5, 1] pyramid cell at the selected scale
   (roi_pyramid.WINDOW comment), so G=7 bins + bilinear halo fit in 10 rows;
@@ -93,12 +99,21 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
     return row0, x0, wy, wx
 
 
-def _window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, flat_ref, out_ref,
+def _window_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref, exbd_ref,
+                        wy_ref, wx_ref, flat_ref, out_ref,
                         win, sems, *, tile: int, g: int):
-    """Grid step: DMA `tile` windows (double buffered), two-stage matmul."""
+    """Grid step: DMA `tile` windows (double buffered), build the combined
+    weights in-kernel (see _w2_all), ONE GEMM per view:
+    out = W2 (G*G, 160) @ window (160, C).
+
+    The original two-stage contraction ((G,10)@(10,16C) then G small
+    (G,16)@(16,C) dots) is 4x fewer FLOPs but its M=7/K=10 shapes waste the
+    128x128 MXU; it measured ~0.55 us/view COMPUTE-bound — what round 1
+    misattributed to a 300 GB/s DMA plateau (docs/PERF.md, W2 rows)."""
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     c = flat_ref.shape[-1]
+    k = WINDOW * WINDOW_X
 
     def dma(step, slot, t):
         v = step * tile + t
@@ -121,23 +136,82 @@ def _window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, flat_ref, out_ref,
     def _():
         start_all(i + 1, (i + 1) % 2)
 
+    w2all = _w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref,
+                    wy_ref[0], wx_ref[0])               # (G2P, tile*160)
     slot = i % 2
     for t in range(tile):
         dma(i, slot, t).wait()
-        w = win[slot, t]                              # (10, 16, C) bf16
-        wy = wy_ref[t].astype(w.dtype)                # (G, 10)
-        wx = wx_ref[t].astype(jnp.float32)            # (G, 16)
-        m1 = jax.lax.dot_general(
-            wy, w.reshape(WINDOW, WINDOW_X * c),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(g, WINDOW_X, c)                     # (G, 16, C) f32
-        for gi in range(g):
-            out_ref[t, gi] = jax.lax.dot_general(
-                wx, m1[gi],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(out_ref.dtype)                   # (G, C)
+        w = win[slot, t].reshape(k, c)                  # (160, C)
+        w2 = w2all[:g * g, t * k:(t + 1) * k].astype(w.dtype)
+        out_ref[t] = _dot(w2, w).astype(out_ref.dtype)  # (G*G, C)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel combined-weight build. The GEMM form needs, per view, the matrix
+# W2[(i,j),(y,x)] = wy[i,y] * wx[j,x] (G*G=49 x 160). Materializing it on the
+# host costs ~500 MB of HBM write+read per group at bench shapes (~4 ms);
+# instead the kernel rebuilds it each grid step from the tiny wy/wx rows
+# (182 floats/view) with FOUR constant 0/1 expansion matmuls batched over
+# the whole tile:
+#     a2 = RI @ wycat @ EYBD    (G2P, tile*160): a2[(ij), t*160+(yx)] = wy_t[i,y]
+#     b2 = RJ @ wxcat @ EXBD    likewise with wx_t[j,x]
+#     W2_t = (a2 * b2)[:G*G, t*160:(t+1)*160]
+# RI/RJ replicate the G weight rows into G*G bin rows; EYBD/EXBD spread the
+# 10/16 window coords onto the 160-wide (y,x) axis, block-diagonally over the
+# tile. G2P pads the bin-row axis to the sublane tile.
+# ---------------------------------------------------------------------------
+
+
+def _g2p(g: int) -> int:
+    return -(-g * g // 64) * 64
+
+
+def _expansion_consts(g: int, tile: int):
+    """-> (ri (G2P, G), rj (G2P, G), eybd (tile*10, tile*160),
+    exbd (tile*16, tile*160)) as static f32 arrays."""
+    import numpy as np
+
+    g2p, k = _g2p(g), WINDOW * WINDOW_X
+    ri = np.zeros((g2p, g), np.float32)
+    rj = np.zeros((g2p, g), np.float32)
+    for i in range(g):
+        for j in range(g):
+            ri[i * g + j, i] = 1.0
+            rj[i * g + j, j] = 1.0
+    eybd = np.zeros((tile * WINDOW, tile * k), np.float32)
+    exbd = np.zeros((tile * WINDOW_X, tile * k), np.float32)
+    for t in range(tile):
+        for y in range(WINDOW):
+            eybd[t * WINDOW + y,
+                 t * k + y * WINDOW_X:t * k + (y + 1) * WINDOW_X] = 1.0
+        for x in range(WINDOW_X):
+            exbd[t * WINDOW_X + x, t * k + x:(t + 1) * k:WINDOW_X] = 1.0
+    return (jnp.asarray(ri), jnp.asarray(rj),
+            jnp.asarray(eybd), jnp.asarray(exbd))
+
+
+def _cat_layout(w: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """(..., N, G, W) -> (..., N/tile, G, tile*W): each grid step's tile of
+    per-view weight rows laid side by side (host-side transpose, so the
+    kernel reads ONE aligned block per step)."""
+    *lead, n, g, win = w.shape
+    w = w.reshape(*lead, n // tile, tile, g, win)
+    perm = list(range(len(lead))) + [len(lead), len(lead) + 2,
+                                     len(lead) + 1, len(lead) + 3]
+    return w.transpose(*perm).reshape(*lead, n // tile, g, tile * win)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref, wycat, wxcat):
+    """One grid step's combined weights for ALL tile views:
+    (G2P, tile*160) f32; view t's W2 is [:G*G, t*160:(t+1)*160]."""
+    a2 = _dot(_dot(ri_ref[...], wycat), eybd_ref[...])
+    b2 = _dot(_dot(rj_ref[...], wxcat), exbd_ref[...])
+    return a2 * b2
 
 
 def pallas_window_pool(flat: jnp.ndarray, row0: jnp.ndarray, x0: jnp.ndarray,
@@ -158,6 +232,9 @@ def pallas_window_pool(flat: jnp.ndarray, row0: jnp.ndarray, x0: jnp.ndarray,
         wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
         wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
 
+    ri, rj, eybd, exbd = _expansion_consts(g, tile)
+    g2p, k = _g2p(g), WINDOW * WINDOW_X
+
     grid = (n_pad // tile,)
     out = pl.pallas_call(
         partial(_window_pool_kernel, tile=tile, g=g),
@@ -165,21 +242,30 @@ def pallas_window_pool(flat: jnp.ndarray, row0: jnp.ndarray, x0: jnp.ndarray,
             num_scalar_prefetch=2,  # row0, x0 in SMEM
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile, g, WINDOW), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((tile, g, WINDOW_X), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW, tile * k),
+                             lambda i, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW_X, tile * k),
+                             lambda i, *_: (0, 0)),
+                pl.BlockSpec((1, g, tile * WINDOW), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, g, tile * WINDOW_X),
+                             lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),  # pyramid stays in HBM
             ],
-            out_specs=pl.BlockSpec((tile, g, g, c), lambda i, *_: (i, 0, 0, 0)),
+            out_specs=pl.BlockSpec((tile, g * g, c), lambda i, *_: (i, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, tile, WINDOW, WINDOW_X, c), flat.dtype),
                 pltpu.SemaphoreType.DMA((2, tile)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, g, g, c), flat.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, g * g, c), flat.dtype),
         interpret=interpret,
     )(row0.astype(jnp.int32), x0.astype(jnp.int32),
-      wy.astype(jnp.float32), wx.astype(jnp.float32), flat)
-    return out[:n]
+      ri, rj, eybd, exbd,
+      _cat_layout(wy.astype(jnp.float32), tile),
+      _cat_layout(wx.astype(jnp.float32), tile), flat)
+    return out[:n].reshape(n, g, g, c)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -258,21 +344,27 @@ def batched_pyramid_pool(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
 # ---------------------------------------------------------------------------
 
 
-def _multi_window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, *refs,
+def _multi_window_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
+                              exbd_ref, wy_ref, wx_ref, *refs,
                               tile: int, g: int, n_levels: int,
                               nslots: int = 2):
-    """Grid step: DMA tile x L windows (nslots-deep buffered), per-view
-    two-stage matmul per level, SUM over levels in f32, one write.
+    """Grid step: DMA tile x L windows (nslots-deep buffered), then ONE GEMM
+    per view computes both the bilinear pooling AND the level sum: the L
+    windows sit in one scratch slab read as (L*160, C), and the combined
+    weight (G*G, L*160) is the per-level W2s concatenated along K — a
+    concat along a contraction axis IS a sum.
 
-    row0_ref/x0_ref: (L, Npad) SMEM. wy_ref (L, tile, G, WINDOW),
-    wx_ref (L, tile, G, WINDOW_X) VMEM blocks. refs = L flat pyramids in
-    HBM + out_ref + win scratch (nslots, tile, L, WINDOW, WINDOW_X, C) + sems.
+    row0_ref/x0_ref: (L, Npad) SMEM. wy_ref (L, 1, G, tile*WINDOW) /
+    wx_ref (L, 1, G, tile*WINDOW_X) VMEM blocks (combined weights built
+    in-kernel per level, see _w2_all). refs = L flat pyramids in HBM +
+    out_ref + win scratch (nslots, tile, L, WINDOW, WINDOW_X, C) + sems.
     """
     flats = refs[:n_levels]
     out_ref, win, sems = refs[n_levels], refs[n_levels + 1], refs[n_levels + 2]
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     c = flats[0].shape[-1]
+    k = WINDOW * WINDOW_X
 
     def dma(step, slot, t, lv):
         v = step * tile + t
@@ -300,29 +392,18 @@ def _multi_window_pool_kernel(row0_ref, x0_ref, wy_ref, wx_ref, *refs,
     def _():
         start_all(i + nslots - 1, (i + nslots - 1) % nslots)
 
+    w2alls = [_w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref,
+                      wy_ref[lv, 0], wx_ref[lv, 0])
+              for lv in range(n_levels)]               # L x (G2P, tile*160)
     slot = i % nslots
     for t in range(tile):
-        m1s = []
         for lv in range(n_levels):
             dma(i, slot, t, lv).wait()
-            w = win[slot, t, lv]                      # (10, 16, C) bf16
-            wy = wy_ref[lv, t].astype(w.dtype)        # (G, 10)
-            m1s.append(jax.lax.dot_general(
-                wy, w.reshape(WINDOW, WINDOW_X * c),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(g, WINDOW_X, c))                # (G, 16, C) f32
-        for gi in range(g):
-            acc = None
-            for lv in range(n_levels):
-                wx = wx_ref[lv, t].astype(jnp.float32)  # (G, 16)
-                r = jax.lax.dot_general(
-                    wx, m1s[lv][gi],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                     # (G, C)
-                acc = r if acc is None else acc + r
-            out_ref[t, gi] = acc.astype(out_ref.dtype)
+        w = win[slot, t].reshape(n_levels * k, c)
+        w2 = jnp.concatenate(
+            [w2alls[lv][:g * g, t * k:(t + 1) * k] for lv in range(n_levels)],
+            axis=1).astype(w.dtype)                    # (G*G, L*160)
+        out_ref[t] = _dot(w2, w).astype(out_ref.dtype)  # (G*G, C)
 
 
 def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
@@ -345,8 +426,14 @@ def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
 
     row0 = jnp.stack([jnp.pad(r, (0, pad)) for r in row0s])  # (L, Npad)
     x0 = jnp.stack([jnp.pad(x, (0, pad)) for x in x0s])
-    wy = jnp.stack([jnp.pad(w, ((0, pad), (0, 0), (0, 0))) for w in wys])
-    wx = jnp.stack([jnp.pad(w, ((0, pad), (0, 0), (0, 0))) for w in wxs])
+    wycat = jnp.stack([
+        _cat_layout(jnp.pad(wy_, ((0, pad), (0, 0), (0, 0))).astype(
+            jnp.float32), tile) for wy_ in wys])  # (L, Nt, G, tile*10)
+    wxcat = jnp.stack([
+        _cat_layout(jnp.pad(wx_, ((0, pad), (0, 0), (0, 0))).astype(
+            jnp.float32), tile) for wx_ in wxs])
+    ri, rj, eybd, exbd = _expansion_consts(g, tile)
+    g2p, k = _g2p(g), WINDOW * WINDOW_X
 
     grid = (n_pad // tile,)
     out = pl.pallas_call(
@@ -356,24 +443,30 @@ def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
             num_scalar_prefetch=2,  # row0, x0 in SMEM
             grid=grid,
             in_specs=[
-                pl.BlockSpec((nl, tile, g, WINDOW),
+                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW, tile * k),
+                             lambda i, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW_X, tile * k),
+                             lambda i, *_: (0, 0)),
+                pl.BlockSpec((nl, 1, g, tile * WINDOW),
                              lambda i, *_: (0, i, 0, 0)),
-                pl.BlockSpec((nl, tile, g, WINDOW_X),
+                pl.BlockSpec((nl, 1, g, tile * WINDOW_X),
                              lambda i, *_: (0, i, 0, 0)),
             ] + [pl.BlockSpec(memory_space=pl.ANY)] * nl,
-            out_specs=pl.BlockSpec((tile, g, g, c),
-                                   lambda i, *_: (i, 0, 0, 0)),
+            out_specs=pl.BlockSpec((tile, g * g, c),
+                                   lambda i, *_: (i, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((nslots, tile, nl, WINDOW, WINDOW_X, c),
                            flats[0].dtype),
                 pltpu.SemaphoreType.DMA((nslots, tile, nl)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, g, g, c), flats[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, g * g, c), flats[0].dtype),
         interpret=interpret,
     )(row0.astype(jnp.int32), x0.astype(jnp.int32),
-      wy.astype(jnp.float32), wx.astype(jnp.float32), *flats)
-    return out[:n]
+      ri, rj, eybd, exbd, wycat, wxcat, *flats)
+    return out[:n].reshape(n, g, g, c)
 
 
 def _multi_pool(flats, row0s, x0s, wys, wxs, tile, interpret):
@@ -417,6 +510,184 @@ def _mwpt_bwd(tile, interpret, res, g):
 
 
 multi_window_pool_trainable.defvjp(_mwpt_fwd, _mwpt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident pooling: when one image's WHOLE pyramid fits in VMEM (the c5
+# pyramid at 640^2 is ~3.3 MB bf16), DMA-ing a 160 KB HBM window per view is
+# pure waste — the "reference" foveal topology pools its 3 context views only
+# from c5, i.e. 3/4 of all views read an HBM-resident 3 MB buffer 24000 times
+# (~3.8 GB at bench shapes, ~13 ms at the measured 300 GB/s window-DMA
+# plateau). This kernel instead pipelines the (rows, Wmax, C) per-image
+# pyramid into VMEM as a normal Pallas input block (double-buffered across
+# the image grid axis by the pipeline) and extracts each view's 10x16 window
+# with a local VMEM->VMEM async copy; the two-stage matmul is identical to
+# _window_pool_kernel. Traffic: B * pyramid bytes (26 MB) instead of
+# N * window bytes (3.8 GB).
+# ---------------------------------------------------------------------------
+
+
+def _resident_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
+                          exbd_ref, wy_ref, wx_ref, flat_ref,
+                          out_ref, *, tile: int, g: int):
+    """Grid (B, V/tile): flat_ref is image b's pyramid, resident in VMEM.
+
+    row0_ref/x0_ref (B, Vpad) SMEM, image-RELATIVE rows. wy_ref
+    (1, 1, G, tile*WINDOW) / wx_ref (1, 1, G, tile*WINDOW_X) VMEM blocks
+    (combined weights built in-kernel, see _w2_all). Windows are read with
+    DIRECT dynamic-slice loads from the resident block — no per-view DMA at
+    all (24k local copies measured ~12 ms of pure descriptor overhead;
+    direct loads are free).
+
+    Why ONE (G*G, 160) x (160, C) GEMM instead of the window kernel's old
+    two-stage (G,10)@(10,16C) + G x (G,16)@(16,C): the two-stage form is
+    4x fewer FLOPs but its M=7/K=10 shapes waste the 128x128 MXU — measured
+    0.79 us/view, fully compute-bound (docs/PERF.md, resident rows). The
+    combined form is K=160, M=49: ~8x fewer MXU passes per view.
+    """
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    c = flat_ref.shape[-1]
+    k = WINDOW * WINDOW_X
+
+    w2all = _w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref,
+                    wy_ref[0, 0], wx_ref[0, 0])         # (G2P, tile*160)
+    for t in range(tile):
+        v = j * tile + t
+        w = flat_ref[0, pl.ds(row0_ref[b, v], WINDOW),
+                     pl.ds(pl.multiple_of(x0_ref[b, v], 8), WINDOW_X), :]
+        w = w.reshape(k, c)                             # (160, C)
+        w2 = w2all[:g * g, t * k:(t + 1) * k].astype(w.dtype)
+        out_ref[0, t] = _dot(w2, w).astype(out_ref.dtype)  # (G*G, C)
+
+
+def pallas_resident_pool(flat: jnp.ndarray, row0: jnp.ndarray,
+                         x0: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray, *,
+                         tile: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """flat (B, rows, Wmax, C) per-image pyramids; row0/x0 (B, V)
+    image-relative; wy (B, V, G, WINDOW), wx (B, V, G, WINDOW_X)
+    -> (B, V, G, G, C). V is padded to a multiple of `tile` internally.
+    """
+    b, v, g = wy.shape[:3]
+    rows, wmax, c = flat.shape[1:]
+    v_pad = ((v + tile - 1) // tile) * tile
+    if v_pad != v:
+        pad = ((0, 0), (0, v_pad - v))
+        row0 = jnp.pad(row0, pad)
+        x0 = jnp.pad(x0, pad)
+        wy = jnp.pad(wy, pad + ((0, 0), (0, 0)))
+        wx = jnp.pad(wx, pad + ((0, 0), (0, 0)))
+
+    ri, rj, eybd, exbd = _expansion_consts(g, tile)
+    g2p, k = _g2p(g), WINDOW * WINDOW_X
+
+    grid = (b, v_pad // tile)
+    out = pl.pallas_call(
+        partial(_resident_pool_kernel, tile=tile, g=g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, x0 in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW, tile * k),
+                             lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW_X, tile * k),
+                             lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((1, 1, g, tile * WINDOW),
+                             lambda bi, j, *_: (bi, j, 0, 0)),
+                pl.BlockSpec((1, 1, g, tile * WINDOW_X),
+                             lambda bi, j, *_: (bi, j, 0, 0)),
+                # the whole per-image pyramid, pipelined per grid-b
+                pl.BlockSpec((1, rows, wmax, c),
+                             lambda bi, j, *_: (bi, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, tile, g * g, c),
+                                   lambda bi, j, *_: (bi, j, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, v_pad, g * g, c), flat.dtype),
+        interpret=interpret,
+    )(row0.astype(jnp.int32), x0.astype(jnp.int32),
+      ri, rj, eybd, exbd,
+      _cat_layout(wy.astype(jnp.float32), tile),
+      _cat_layout(wx.astype(jnp.float32), tile), flat)
+    return out[:, :v].reshape(b, v, g, g, c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def resident_pool_trainable(flat, row0, x0, wy, wx, tile=8, interpret=False):
+    """Differentiable resident pooling: Pallas forward + the same windowed
+    scatter-add backward as window_pool_trainable (grads to `flat` only)."""
+    return pallas_resident_pool(flat, row0, x0, wy, wx, tile=tile,
+                                interpret=interpret)
+
+
+def _rpt_fwd(flat, row0, x0, wy, wx, tile, interpret):
+    out = pallas_resident_pool(flat, row0, x0, wy, wx, tile=tile,
+                               interpret=interpret)
+    stub = jnp.broadcast_to(jnp.zeros((), flat.dtype), flat.shape)
+    return out, (stub, row0, x0, wy, wx)
+
+
+def _rpt_bwd(tile, interpret, res, g):
+    stub, row0, x0, wy, wx = res
+    b, rows = stub.shape[:2]
+    v = row0.shape[1]
+    g = g.astype(jnp.float32).reshape(b * v, *g.shape[2:])
+    wy_f = wy.reshape(b * v, *wy.shape[2:])
+    wx_f = wx.reshape(b * v, *wx.shape[2:])
+    # absolute rows into the (B*rows, Wmax, C) view of flat
+    img_off = jnp.arange(b, dtype=jnp.int32)[:, None] * rows
+    row_abs = (row0.astype(jnp.int32) + img_off).reshape(b * v)
+    m = jnp.einsum("ngy,nghc->nyhc", wy_f, g)
+    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx_f)
+    idx = jnp.stack([row_abs, x0.reshape(b * v).astype(jnp.int32)], axis=-1)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    g_flat = jax.lax.scatter_add(
+        jnp.zeros((b * rows,) + stub.shape[2:], jnp.float32), idx, gwin,
+        dnums, indices_are_sorted=False, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).astype(stub.dtype).reshape(stub.shape)
+    return g_flat, None, None, None, None
+
+
+resident_pool_trainable.defvjp(_rpt_fwd, _rpt_bwd)
+
+
+def batched_pyramid_pool_resident(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
+                                  rois_views: jnp.ndarray, batch: int, *,
+                                  output_size: int = 7,
+                                  samples_per_bin: int = 2, tile: int = 8,
+                                  interpret: bool = False,
+                                  trainable: bool = False) -> jnp.ndarray:
+    """Resident-pyramid pooling over a batch (see batched_pyramid_pool).
+
+    flat_batch: (B * rows, Wmax, C) stacked pyramids; rois_views (N, 4) with
+    N = B * views_per_image, GROUPED BY IMAGE (image-major order — the
+    layout pool_rois produces). Returns (N, G, G, C).
+    """
+    rows = pyr_meta.flat.shape[0]
+    wmax, c = flat_batch.shape[1:]
+    n = rois_views.shape[0]
+    assert n % batch == 0, (n, batch)
+    v = n // batch
+    row0, x0, wy, wx = view_geometry(
+        pyr_meta, rois_views, output_size=output_size,
+        samples_per_bin=samples_per_bin)
+    g = wy.shape[1]
+    args = (flat_batch.reshape(batch, rows, wmax, c),
+            row0.reshape(batch, v), x0.reshape(batch, v),
+            wy.reshape(batch, v, g, WINDOW), wx.reshape(batch, v, g, WINDOW_X))
+    if trainable:
+        out = resident_pool_trainable(*args, tile, interpret)
+    else:
+        out = pallas_resident_pool(*args, tile=tile, interpret=interpret)
+    return out.reshape(n, g, g, c)
 
 
 def batched_pyramid_pool_multi(flat_batches, pyr_metas, rois_views_per_level,

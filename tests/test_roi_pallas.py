@@ -181,3 +181,62 @@ def test_multi_level_trainable_grads_match_per_level():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def _resident_fixture(b=3, v=5, c=8, seed=29):
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.standard_normal((b, 24, 40, c)), jnp.float32)
+    flat_all, meta = RP.build_pyramid_batch(feats, 0.25)
+    x1 = rng.uniform(0, 100, (b * v)).astype(np.float32)
+    y1 = rng.uniform(0, 60, (b * v)).astype(np.float32)
+    w = rng.uniform(8, 120, (b * v)).astype(np.float32)
+    h = rng.uniform(8, 60, (b * v)).astype(np.float32)
+    views = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), v)
+    return flat_all, meta, views, img_idx, b
+
+
+def test_resident_pool_matches_window_pool():
+    """VMEM-resident kernel == per-window DMA kernel == XLA oracle, including
+    the V-padding path (v=5 with tile=2 pads each image's views to 6)."""
+    flat_all, meta, views, img_idx, b = _resident_fixture()
+    res = RK.batched_pyramid_pool_resident(
+        flat_all, meta, views, b, tile=2, interpret=True)
+    win = RK.batched_pyramid_pool(flat_all, meta, views, img_idx, tile=2,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(res), np.asarray(win), atol=1e-4)
+
+
+def test_resident_pool_image_isolation():
+    """Resident views must read ONLY their own image's pyramid block."""
+    f0 = jnp.zeros((16, 16, 8), jnp.float32)
+    f1 = jnp.ones((16, 16, 8), jnp.float32)
+    flat_all, meta = RP.build_pyramid_batch(jnp.stack([f0, f1]), 1.0)
+    views = jnp.asarray([[2, 2, 12, 12], [2, 2, 12, 12]], jnp.float32)
+    out = RK.batched_pyramid_pool_resident(flat_all, meta, views, 2, tile=2,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), 1.0, atol=1e-5)
+
+
+def test_resident_trainable_grads_match_window_trainable():
+    """Resident custom-VJP backward == window-kernel custom-VJP backward."""
+    flat_all, meta, views, img_idx, b = _resident_fixture(b=2, v=4)
+    rows = meta.flat.shape[0]
+
+    def loss_resident(f):
+        out = RK.batched_pyramid_pool_resident(
+            f, meta, views, b, tile=2, interpret=True, trainable=True)
+        return jnp.sum(out * out)
+
+    def loss_window(f):
+        row0, x0, wy, wx = RK.view_geometry(meta, views)
+        row0 = row0 + img_idx * rows
+        out = RK.window_pool_trainable(f, row0, x0, wy, wx, 2, True)
+        return jnp.sum(out * out)
+
+    v1, g1 = jax.value_and_grad(loss_resident)(flat_all)
+    v2, g2 = jax.value_and_grad(loss_window)(flat_all)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)
