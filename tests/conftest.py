@@ -13,9 +13,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA-CPU-compile-bound on this 1-core box; skipping backend
+# optimization passes halves the wall clock (test_train 168s -> 80s,
+# 2026-08-16) with identical results — tests exercise semantics, not codegen
+# quality. Production (TPU) paths never see this flag.
+if "xla_backend_optimization_level" not in _flags:
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

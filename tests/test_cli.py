@@ -11,6 +11,7 @@ def workdir(tmp_path_factory):
     return tmp_path_factory.mktemp("cli")
 
 
+@pytest.mark.slow
 def test_train_cli_runs_and_checkpoints(workdir):
     from multipathnet_tpu.cli import train as train_cli
 
@@ -32,6 +33,7 @@ def test_train_cli_runs_and_checkpoints(workdir):
     assert cfg["model"]["num_classes"] == 5  # adopted from dataset (4 fg + bg)
 
 
+@pytest.mark.slow
 def test_train_cli_resume(workdir):
     from multipathnet_tpu.cli import train as train_cli
 
@@ -96,6 +98,7 @@ def test_config_override_errors():
     assert cfg.data.image_size == (32, 32)
 
 
+@pytest.mark.slow
 def test_export_proposals_cli_and_override(workdir, capsys):
     from multipathnet_tpu.cli import export_proposals as ep_cli
     from multipathnet_tpu.cli import eval as eval_cli

@@ -40,6 +40,7 @@ def _loss_after_step(cfg, batch, mesh):
     return float(m["loss"]), trainer, state
 
 
+@pytest.mark.slow
 def test_dp_width_invariance(data):
     """Same batch, same seed: loss identical on 1-, 2-, and 4-wide data
     meshes (the psum is an implementation detail, not a semantic one)."""
@@ -51,6 +52,7 @@ def test_dp_width_invariance(data):
     assert l1 == pytest.approx(l4, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_tp_matches_dp(data):
     """2x2 (data x model) mesh computes the same loss as pure DP, and the
     FC kernels are actually sharded over the model axis."""
