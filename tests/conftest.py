@@ -14,12 +14,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
-# The suite is XLA-CPU-compile-bound on this 1-core box; skipping backend
-# optimization passes halves the wall clock (test_train 168s -> 80s,
-# 2026-08-16) with identical results — tests exercise semantics, not codegen
-# quality. Production (TPU) paths never see this flag.
+# The suite is XLA-CPU-compile-bound on this 1-core box; lowering the backend
+# optimization level halves the wall clock (test_train 168s -> 84s,
+# 2026-08-16). Level 1, not 0: level 0 materially changes CPU numerics —
+# the 30-epoch proposal-net micro-training in test_sharpmask lands at
+# recall 0.31 instead of 0.95 under level 0, while level 1 reproduces the
+# default-level results on the whole suite. Production (TPU) never sees this.
 if "xla_backend_optimization_level" not in _flags:
-    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+    _flags = (_flags + " --xla_backend_optimization_level=1").strip()
 os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
