@@ -18,9 +18,13 @@ REGISTRY = {
 }
 
 
-def get_backbone(name: str, dtype):
+def get_backbone(name: str, dtype, freeze_stages: int = 0):
+    """freeze_stages > 0 cuts the gradient at the stage-N boundary with
+    lax.stop_gradient (NoBackprop analog): XLA then skips the entire frozen
+    backward instead of computing gradients that a mask would zero. Forward
+    is bit-identical; param trees are unaffected."""
     try:
         cls = REGISTRY[name]
     except KeyError:
         raise KeyError(f"unknown backbone {name!r}; have {sorted(REGISTRY)}")
-    return cls(dtype=dtype)
+    return cls(dtype=dtype, freeze_stages=freeze_stages)

@@ -25,6 +25,7 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -84,6 +85,7 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2)  # stages at strides 4, 8, 16
     block: Any = BasicBlock
     dtype: Any = jnp.bfloat16
+    freeze_stages: int = 0  # stop-gradient after stage N (NoBackprop analog)
     feature_strides = {"c3": 4, "c4": 8, "c5": 16}
 
     @staticmethod
@@ -108,6 +110,8 @@ class ResNet(nn.Module):
         x = nn.relu(_frozen_norm(self.dtype)(name="stem_bn")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))  # /4
+        if self.freeze_stages >= 1:  # stage 1 = stem (see frozen_prefixes)
+            x = jax.lax.stop_gradient(x)
         feats = {}
         filters = 64
         for si, n_blocks in enumerate(self.stage_sizes):
@@ -116,14 +120,18 @@ class ResNet(nn.Module):
                 x = self.block(filters, stride if bi == 0 else 1,
                                dtype=self.dtype,
                                name=f"stage{si + 2}_block{bi}")(x, train)
+            if si + 2 <= self.freeze_stages:
+                x = jax.lax.stop_gradient(x)
             feats[f"c{si + 3}"] = x
             filters *= 2
         return feats
 
 
-def ResNet18(dtype=jnp.bfloat16):
-    return ResNet(stage_sizes=(2, 2, 2), block=BasicBlock, dtype=dtype)
+def ResNet18(dtype=jnp.bfloat16, freeze_stages=0):
+    return ResNet(stage_sizes=(2, 2, 2), block=BasicBlock, dtype=dtype,
+                  freeze_stages=freeze_stages)
 
 
-def ResNet50(dtype=jnp.bfloat16):
-    return ResNet(stage_sizes=(3, 4, 6), block=BottleneckBlock, dtype=dtype)
+def ResNet50(dtype=jnp.bfloat16, freeze_stages=0):
+    return ResNet(stage_sizes=(3, 4, 6), block=BottleneckBlock, dtype=dtype,
+                  freeze_stages=freeze_stages)

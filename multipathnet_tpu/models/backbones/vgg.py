@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # (out_channels, num_convs) per block
@@ -24,6 +25,7 @@ _CFG: Sequence[tuple[int, int]] = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 
 
 class VGG16(nn.Module):
     dtype: Any = jnp.bfloat16
+    freeze_stages: int = 0  # stop-gradient after block N (NoBackprop analog)
     feature_strides = {"c3": 4, "c4": 8, "c5": 16}
 
     @staticmethod
@@ -43,6 +45,10 @@ class VGG16(nn.Module):
                 x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype,
                             name=f"conv{b}_{c}")(x)
                 x = nn.relu(x)
+            if b <= self.freeze_stages:
+                # frozen block: cut the cotangent here so XLA skips the
+                # whole backward below (incl. the expensive conv1 block)
+                x = jax.lax.stop_gradient(x)
             if b == 3:
                 feats["c3"] = x  # conv3_3, stride 4
             if b == 4:

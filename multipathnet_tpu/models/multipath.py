@@ -27,10 +27,15 @@ from multipathnet_tpu.ops import roi as roi_ops
 
 class MultiPathNet(nn.Module):
     cfg: ModelConfig
+    # NoBackprop analog (train-time models only): stop-gradient after trunk
+    # stage N, so XLA never builds the frozen backward. Forward-identical;
+    # does not change the param tree (checkpoints are interchangeable).
+    freeze_stages: int = 0
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.dtype)
-        self.backbone = get_backbone(self.cfg.backbone, dtype)
+        self.backbone = get_backbone(self.cfg.backbone, dtype,
+                                     freeze_stages=self.freeze_stages)
         # ION-style 1x1 skip reduction (MultiPath §3.2), applied PER LEVEL on
         # the trunk maps: pooling is linear, so sum_l(pool(W_l f_l)) equals
         # the reference's reduce(concat_l(pool(f_l))) at 24x fewer FLOPs
@@ -260,5 +265,5 @@ class MultiPathNet(nn.Module):
         return self.predict_rois(pooled, train=train)
 
 
-def build_model(cfg: ModelConfig) -> MultiPathNet:
-    return MultiPathNet(cfg=cfg)
+def build_model(cfg: ModelConfig, freeze_stages: int = 0) -> MultiPathNet:
+    return MultiPathNet(cfg=cfg, freeze_stages=freeze_stages)

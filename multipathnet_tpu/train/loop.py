@@ -12,8 +12,9 @@ TPU-native redesign:
   mesh "data" axis, params are replicated, and XLA inserts the gradient
   all-reduce over ICI (SURVEY.md §2.3 DP row). The same step function runs
   unchanged on 1 chip or a pod.
-- Backbone stage freezing (NoBackprop analog) is a gradient mask, not a
-  module wrapper.
+- Backbone stage freezing (NoBackprop analog) is a stop_gradient at the
+  stage boundary (XLA skips the frozen backward entirely) plus an update
+  mask so weight decay cannot move frozen params.
 """
 
 from __future__ import annotations
@@ -170,7 +171,12 @@ class Trainer:
 
     def __init__(self, cfg: Config, mesh=None):
         self.cfg = cfg
-        self.model = build_model(cfg.model)
+        # freeze via stop_gradient in the trunk: XLA skips the frozen
+        # backward instead of computing grads a mask would zero. The
+        # param tree is unchanged, so eval models / checkpoints (built
+        # with freeze_stages=0) remain interchangeable.
+        self.model = build_model(
+            cfg.model, freeze_stages=cfg.train.freeze_backbone_stages)
         self.tx, self.lr_schedule = make_optimizer(cfg.train)
         if mesh is None:
             # largest device count that divides the global batch
@@ -188,7 +194,8 @@ class Trainer:
 
             self.cfg = cfg = cfg.replace(model=_dc.replace(
                 cfg.model, roi_impl="direct", train_roi_impl="direct"))
-            self.model = build_model(cfg.model)
+            self.model = build_model(
+                cfg.model, freeze_stages=cfg.train.freeze_backbone_stages)
         self.rules = MeshRules(mesh)
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))

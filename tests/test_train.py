@@ -126,6 +126,38 @@ def test_freeze_backbone_all_trunks():
         assert all(v == 1.0 for k, v in frozen.items() if ".head." in k)
 
 
+def test_freeze_stop_gradient_zeroes_grads_without_mask():
+    """Freezing is a stop_gradient in the trunk, not just an update mask:
+    grads of frozen-stage params must be EXACTLY zero at the model level
+    (so XLA skips the frozen backward), for every backbone."""
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.models.backbones import get_backbone
+
+    for name in ("vgg16", "resnet18", "alexnet", "tinynet"):
+        bb = get_backbone(name, jnp.float32, freeze_stages=2)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3))
+        variables = bb.init(jax.random.key(0), x)
+
+        def loss(v):
+            feats = bb.apply(v, x)
+            return sum(jnp.sum(f.astype(jnp.float32) ** 2)
+                       for f in feats.values())
+
+        grads = jax.grad(loss)(variables)["params"]
+        prefixes = type(bb).frozen_prefixes(2)
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        saw_frozen = saw_live = False
+        for path, g in flat:
+            top = str(getattr(path[0], "key", ""))
+            if top.startswith(prefixes):
+                assert not np.any(np.asarray(g)), (name, top)
+                saw_frozen = True
+            elif np.any(np.asarray(g)):
+                saw_live = True
+        assert saw_frozen and saw_live, (name, saw_frozen, saw_live)
+
+
 def test_freeze_unknown_backbone_errors():
     import flax.linen as nn
     import jax.numpy as jnp
