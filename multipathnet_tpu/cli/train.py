@@ -88,7 +88,9 @@ def main(argv=None) -> None:
     t_start, first_step_logged = time.time(), False
     imgs_per_step = cfg.train.batch_size
     while step < cfg.train.total_steps:
-        for batch in pipe.epoch(epoch):
+        # device prefetch: batch N+1 transfers while step N computes
+        # (shard_batch on an already-resident batch is a no-op)
+        for batch in pipe.epoch_on_device(epoch, trainer.shard_batch):
             state, metrics = trainer.step(state, batch)
             step += 1
             if not first_step_logged:

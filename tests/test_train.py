@@ -44,6 +44,29 @@ def test_train_loss_decreases(setup):
     assert int(np.asarray(state.step)) == len(losses)
 
 
+def test_device_prefetch_preserves_stream(setup):
+    """epoch_on_device must yield the same batches, in order, as epoch() —
+    it only moves the host->device transfer earlier. Also pins depth > n
+    and the step-compatibility of prefetched (device-resident) batches."""
+    from multipathnet_tpu.data.pipeline import device_prefetch
+
+    cfg, trainer, pipe, *_ = setup
+    host = list(pipe.epoch(0))
+    dev = list(pipe.epoch_on_device(0, trainer.shard_batch))
+    assert len(dev) == len(host)
+    for hb, db in zip(host, dev):
+        for hf, df in zip(hb, db):
+            if hf is not None:
+                np.testing.assert_array_equal(np.asarray(hf), np.asarray(df))
+    # depth larger than the stream: everything still comes out once
+    out = list(device_prefetch(iter(range(3)), lambda x: x * 10, depth=8))
+    assert out == [0, 10, 20]
+    # a prefetched batch feeds the jitted step unchanged
+    state = trainer.init_state()
+    state, m = trainer.step(state, dev[0])
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_train_step_deterministic(setup):
     cfg, trainer, pipe, *_ = setup
     batch = next(pipe.epoch(0))
