@@ -4,6 +4,12 @@
         --dataset-root /data/coco --split trainval35k
     python -m multipathnet_tpu.cli.train --preset tiny --synthetic --steps 60
 
+`--proposal-net` trains the SharpMask-style proposal network instead (the
+reference's DeepMask/SharpMask sibling repo had its own train entry; here it
+is a mode). Its checkpoints feed `cli.export_proposals
+--proposal-checkpoint-dir` and `cli.demo --proposal-source sharpmask`, and
+the final eval reports proposal recall@IoU0.5 instead of detection AP.
+
 Checkpoints + config dump + JSONL metrics land in cfg.train.checkpoint_dir;
 `--resume` continues exactly (params, opt state, step, PRNG).
 """
@@ -20,6 +26,36 @@ import numpy as np
 from multipathnet_tpu.cli import common
 
 
+def _proposal_recall(trainer, params, loader, top_k: int = 64,
+                     max_images: int = 64) -> dict:
+    """Proposal-quality eval for --proposal-net: recall@top_k at IoU 0.5 and
+    mean best-IoU over GT (the DeepMask-family operating metrics)."""
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.data.transforms import normalize
+    from multipathnet_tpu.models.sharpmask import generate_proposals
+    from multipathnet_tpu.ops.boxes import iou_matrix
+
+    hits, total, best = 0, 0, []
+    for i in range(min(len(loader), max_images)):
+        img = loader.load_image(i).astype(np.float32)
+        x = jnp.asarray(normalize(jnp.asarray(img)))[None]
+        out = generate_proposals(trainer.model, params, x, top_k=top_k,
+                                 with_masks=False)
+        ann = loader.annotations(i)
+        if len(ann["boxes"]) == 0:
+            continue
+        iou = np.asarray(iou_matrix(jnp.asarray(out["boxes"][0]),
+                                    jnp.asarray(ann["boxes"])))
+        m = iou.max(0)
+        hits += int((m >= 0.5).sum())
+        total += len(ann["boxes"])
+        best.extend(m.tolist())
+    return {"proposal_recall@0.5": hits / max(total, 1),
+            "mean_best_iou": float(np.mean(best)) if best else 0.0,
+            "top_k": float(top_k)}
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     common.add_config_args(p)
@@ -31,6 +67,9 @@ def main(argv=None) -> None:
     p.add_argument("--no-final-eval", action="store_true")
     p.add_argument("--tensorboard", action="store_true",
                    help="also export scalars to <checkpoint_dir>/tb")
+    p.add_argument("--proposal-net", action="store_true",
+                   help="train the SharpMask-style proposal network "
+                        "(checkpoints feed export_proposals/demo)")
     args = p.parse_args(argv)
 
     cfg = common.build_config(args)
@@ -58,10 +97,18 @@ def main(argv=None) -> None:
     with open(os.path.join(cfg.train.checkpoint_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
 
-    trainer = Trainer(cfg)
-    pipe = DetectionPipeline(loader, props, cfg.data,
-                             batch_size=cfg.train.batch_size,
-                             seed=cfg.train.seed)
+    if args.proposal_net:
+        from multipathnet_tpu.train.proposal import ProposalTrainer
+
+        trainer = ProposalTrainer(cfg)
+        pipe = DetectionPipeline(loader, props, cfg.data,
+                                 batch_size=cfg.train.batch_size,
+                                 seed=cfg.train.seed, with_masks=True)
+    else:
+        trainer = Trainer(cfg)
+        pipe = DetectionPipeline(loader, props, cfg.data,
+                                 batch_size=cfg.train.batch_size,
+                                 seed=cfg.train.seed)
     ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "ckpt"))
     logger = MetricsLogger(
         os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl"),
@@ -78,7 +125,10 @@ def main(argv=None) -> None:
             print("no checkpoint found; starting fresh")
 
     def run_eval(params, tag):
-        m = Tester(trainer.model, params, cfg, loader, props).test()
+        if args.proposal_net:
+            m = _proposal_recall(trainer, params, loader)
+        else:
+            m = Tester(trainer.model, params, cfg, loader, props).test()
         logger.log(int(np.asarray(state.step)), tag=tag, **m)
         return m
 

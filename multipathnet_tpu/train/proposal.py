@@ -146,7 +146,13 @@ class ProposalTrainer:
                            self.tx.init(params), jax.random.key(seed + 1))
         return jax.device_put(state, self._repl)
 
+    def shard_batch(self, batch: Batch) -> Batch:
+        return jax.device_put(batch, self._batch_sh)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Re-lay a (restored, host-resident) TrainState onto the mesh."""
+        return jax.device_put(state, self._repl)
+
     def step(self, state: TrainState, batch: Batch):
         """One step; `state` is DONATED (see Trainer.step warning)."""
-        batch = jax.device_put(batch, self._batch_sh)
-        return self._step(state, batch)
+        return self._step(state, self.shard_batch(batch))

@@ -99,6 +99,43 @@ def test_config_override_errors():
 
 
 @pytest.mark.slow
+def test_train_proposal_net_cli_feeds_export(workdir, capsys):
+    """The full offline-proposal workflow at CLI level: train the SharpMask
+    net (--proposal-net), then export proposals FROM that checkpoint —
+    the reference's DeepMask-sibling train entry + .t7 proposal files."""
+    from multipathnet_tpu.cli import export_proposals as ep_cli
+    from multipathnet_tpu.cli import train as train_cli
+
+    ckpt_dir = str(workdir / "smrun")
+    train_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--proposal-net", "--steps", "8",
+        "--set", f"train.checkpoint_dir={ckpt_dir}",
+        "--set", "train.checkpoint_every=4",
+        "--set", "train.log_every=2",
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "metrics.jsonl"))
+    rows = [json.loads(l) for l in
+            open(os.path.join(ckpt_dir, "metrics.jsonl"))]
+    assert any("loss" in r for r in rows)
+    final = [r for r in rows if r.get("tag") == "final"]
+    assert final and "proposal_recall@0.5" in final[-1]
+
+    out_npz = str(workdir / "sm_props.npz")
+    ep_cli.main([
+        "--preset", "tiny", "--synthetic",
+        "--dataset-root", str(workdir / "ds"),
+        "--proposal-checkpoint-dir", ckpt_dir,
+        "--output", out_npz, "--top-k", "8", "--batch-size", "4",
+    ])
+    from multipathnet_tpu.data.proposals import ProposalStore
+
+    ps = ProposalStore.load(out_npz)
+    assert len(ps) == 16 and ps.for_index(0)[0].shape == (8, 4)
+
+
+@pytest.mark.slow
 def test_export_proposals_cli_and_override(workdir, capsys):
     from multipathnet_tpu.cli import export_proposals as ep_cli
     from multipathnet_tpu.cli import eval as eval_cli
