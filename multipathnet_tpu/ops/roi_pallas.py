@@ -286,24 +286,66 @@ def _wpt_fwd(flat, row0, x0, wy, wx, tile, interpret):
     return out, (stub, row0, x0, wy, wx)
 
 
-def _wpt_bwd(tile, interpret, res, g):
-    stub, row0, x0, wy, wx = res
-    shape, dtype = stub.shape, stub.dtype
-    # window gradient: gwin[n] = Wy[n]^T @ g[n] @ Wx[n]  -> (N, 10, 16, C)
-    g = g.astype(jnp.float32)
-    m = jnp.einsum("ngy,nghc->nyhc", wy, g)          # (N, 10, G, C)
-    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)       # (N, 10, 16, C)
-    idx = jnp.stack([row0, x0], axis=-1).astype(jnp.int32)  # (N, 2)
+# Narrow levels route the backward through two dense one-hot GEMMs instead
+# of lax.scatter_add: the scatter is HBM-traffic-bound and pays full-pyramid
+# zero-init + RMW, while for Wmax <= _PLACE_MM_MAX_W the placement matmuls
+# (probe: 11.5 vs 20.8 ms standalone on the c5 shapes, docs/PERF.md) write
+# the grad buffer once. Wide levels (c3/c4) keep the scatter: their one-hot
+# row matrices grow with R*W and measured slower.
+_PLACE_MM_MAX_W = 64
+
+
+def _place_windows(row0, x0, gwin, shape, dtype, f32_dot=False):
+    """Sum N (ht, wd, C) windows into a zero (R, W, C) buffer at (row0, x0)
+    — the dense equivalent of the windowed scatter-add, as two GEMMs:
+    gx[n,r,x,c] = sum_j 1[x0_n+j == x] gwin[n,r,j,c]
+    out[R,x,c]  = sum_{n,r} 1[row0_n+r == R] gx[n,r,x,c]
+    Indices are in-bounds by construction (view_geometry clamps), matching
+    the scatter's CLIP-on-valid behavior."""
+    R, W = shape[0], shape[1]
+    n, ht, wd, c = gwin.shape
+    # XLA:CPU's DotThunk rejects bf16xbf16->f32; tests (interpret mode) run
+    # the GEMMs in f32. On TPU the MXU takes bf16 operands with f32
+    # accumulation natively.
+    cdt = jnp.float32 if f32_dot else dtype
+    xs = x0.astype(jnp.int32)[:, None] + jnp.arange(wd, dtype=jnp.int32)[None]
+    cols = (xs[:, :, None] == jnp.arange(W, dtype=jnp.int32)[None, None, :])
+    gx = jnp.einsum("njx,nrjc->nrxc", cols.astype(cdt), gwin.astype(cdt),
+                    preferred_element_type=jnp.float32)
+    rows = (row0.astype(jnp.int32)[:, None]
+            + jnp.arange(ht, dtype=jnp.int32)[None]).reshape(-1)
+    oh = (rows[:, None] == jnp.arange(R, dtype=jnp.int32)[None, :])
+    out = jnp.einsum("kr,kwc->rwc", oh.astype(cdt),
+                     gx.reshape(n * ht, W, c).astype(cdt),
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def _accumulate_windows(row0, x0, gwin, shape, dtype, f32_dot=False):
+    """Route between the placement GEMMs (narrow levels) and scatter-add."""
+    if shape[1] <= _PLACE_MM_MAX_W:
+        return _place_windows(row0, x0, gwin, shape, dtype, f32_dot)
+    idx = jnp.stack([row0, x0], axis=-1).astype(jnp.int32)
     dnums = jax.lax.ScatterDimensionNumbers(
         update_window_dims=(1, 2, 3),
         inserted_window_dims=(),
         scatter_dims_to_operand_dims=(0, 1),
     )
-    g_flat = jax.lax.scatter_add(
+    return jax.lax.scatter_add(
         jnp.zeros(shape, dtype), idx, gwin.astype(dtype), dnums,
         indices_are_sorted=False, unique_indices=False,
         mode=jax.lax.GatherScatterMode.CLIP,
     )
+
+
+def _wpt_bwd(tile, interpret, res, g):
+    stub, row0, x0, wy, wx = res
+    # window gradient: gwin[n] = Wy[n]^T @ g[n] @ Wx[n]  -> (N, 10, 16, C)
+    g = g.astype(jnp.float32)
+    m = jnp.einsum("ngy,nghc->nyhc", wy, g)          # (N, 10, G, C)
+    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)       # (N, 10, 16, C)
+    g_flat = _accumulate_windows(row0, x0, gwin, stub.shape, stub.dtype,
+                                 f32_dot=interpret)
     return g_flat, None, None, None, None
 
 
@@ -495,22 +537,12 @@ def _mwpt_bwd(tile, interpret, res, g):
     for stub, row0, x0, wy, wx in zip(stubs, row0s, x0s, wys, wxs):
         m = jnp.einsum("ngy,nghc->nyhc", wy, g)       # (N, 10, G, C)
         gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)    # (N, 10, 16, C)
-        idx = jnp.stack([row0, x0], axis=-1).astype(jnp.int32)
-        dnums = jax.lax.ScatterDimensionNumbers(
-            update_window_dims=(1, 2, 3),
-            inserted_window_dims=(),
-            scatter_dims_to_operand_dims=(0, 1),
-        )
         # accumulate in the pyramid's own dtype: the result is cast to it
         # anyway (the build-VJP consumes it), and the f32 detour doubled the
         # zero-init + scatter + read-back HBM traffic of buffers that are
         # ~2x the trunk maps (813 MB for c3 at bench shapes)
-        grads.append(jax.lax.scatter_add(
-            jnp.zeros(stub.shape, stub.dtype), idx,
-            gwin.astype(stub.dtype), dnums,
-            indices_are_sorted=False, unique_indices=False,
-            mode=jax.lax.GatherScatterMode.CLIP,
-        ))
+        grads.append(_accumulate_windows(row0, x0, gwin, stub.shape,
+                                         stub.dtype, f32_dot=interpret))
     return grads, None, None, None, None
 
 
@@ -647,18 +679,9 @@ def _rpt_bwd(tile, interpret, res, g):
     row_abs = (row0.astype(jnp.int32) + img_off).reshape(b * v)
     m = jnp.einsum("ngy,nghc->nyhc", wy_f, g)
     gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx_f)
-    idx = jnp.stack([row_abs, x0.reshape(b * v).astype(jnp.int32)], axis=-1)
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3),
-        inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1),
-    )
-    g_flat = jax.lax.scatter_add(
-        jnp.zeros((b * rows,) + stub.shape[2:], stub.dtype), idx,
-        gwin.astype(stub.dtype), dnums,
-        indices_are_sorted=False, unique_indices=False,
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(stub.shape)
+    g_flat = _accumulate_windows(
+        row_abs, x0.reshape(b * v), gwin, (b * rows,) + stub.shape[2:],
+        stub.dtype, f32_dot=interpret).reshape(stub.shape)
     return g_flat, None, None, None, None
 
 
