@@ -85,3 +85,25 @@ def test_trainable_train_step_runs_with_pallas_impl():
     trunk_g = sum(float(jnp.abs(l).sum()) for l in
                   jax.tree_util.tree_leaves(g["params"]["backbone"]))
     assert trunk_g > 0, "no gradient reached the backbone"
+
+
+def test_placement_gemms_match_scatter():
+    """_place_windows (narrow-level backward) must equal the scatter-add it
+    replaces, on both narrow (routed) and forced-wide shapes."""
+    for R, W, N in ((48, 24, 37), (30, 160, 11)):
+        row0 = jnp.asarray(RNG.integers(0, R - 10, N), jnp.int32)
+        x0 = jnp.asarray(
+            np.minimum(RNG.integers(0, W, N) // 8 * 8, W - 16), jnp.int32)
+        gwin = jnp.asarray(RNG.standard_normal((N, 10, 16, 8)), jnp.float32)
+        placed = RK._place_windows(row0, x0, gwin, (R, W, 8), jnp.float32,
+                                   f32_dot=True)
+        idx = jnp.stack([row0, x0], -1)
+        dnums = lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1))
+        ref = lax.scatter_add(
+            jnp.zeros((R, W, 8), jnp.float32), idx, gwin, dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=lax.GatherScatterMode.CLIP)
+        np.testing.assert_allclose(np.asarray(placed), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-5)
