@@ -26,30 +26,50 @@ import numpy as np
 from multipathnet_tpu.cli import common
 
 
-def _proposal_recall(trainer, params, loader, top_k: int = 64,
+def _proposal_recall(trainer, params, loader, cfg, top_k: int = 64,
                      max_images: int = 64) -> dict:
     """Proposal-quality eval for --proposal-net: recall@top_k at IoU 0.5 and
-    mean best-IoU over GT (the DeepMask-family operating metrics)."""
+    mean best-IoU over non-crowd GT (the DeepMask-family operating metrics).
+
+    Images are resized onto the TRAINING canvas first — the net's anchors
+    are calibrated to cfg.data.image_size (train/proposal.py), so scoring at
+    raw resolution would measure an operating point it never trained at.
+    One jitted graph at the fixed canvas shape (eager generate_proposals
+    through the axon relay costs ~25 ms per op dispatch)."""
+    import jax
     import jax.numpy as jnp
 
-    from multipathnet_tpu.data.transforms import normalize
+    from multipathnet_tpu.data.transforms import batch_resize_to_canvas
     from multipathnet_tpu.models.sharpmask import generate_proposals
     from multipathnet_tpu.ops.boxes import iou_matrix
 
+    @jax.jit
+    def run(p, raw_u8, src_hw):
+        canvas, scale = batch_resize_to_canvas(
+            raw_u8[None], cfg.data.image_size, src_hw[None])
+        out = generate_proposals(trainer.model, p, canvas, top_k=top_k,
+                                 with_masks=False)
+        return out["boxes"][0] / scale[0]  # back to raw image coords
+
+    hmax = max(loader.image_size(i)[0] for i in range(len(loader)))
+    wmax = max(loader.image_size(i)[1] for i in range(len(loader)))
     hits, total, best = 0, 0, []
     for i in range(min(len(loader), max_images)):
-        img = loader.load_image(i).astype(np.float32)
-        x = jnp.asarray(normalize(jnp.asarray(img)))[None]
-        out = generate_proposals(trainer.model, params, x, top_k=top_k,
-                                 with_masks=False)
+        img = loader.load_image(i)
+        h, w = img.shape[:2]
+        pad = np.zeros((hmax, wmax, 3), img.dtype)
+        pad[:h, :w] = img  # fixed canvas => one compile for the whole split
+        boxes = run(params, jnp.asarray(pad),
+                    jnp.asarray([h, w], jnp.float32))
         ann = loader.annotations(i)
-        if len(ann["boxes"]) == 0:
+        keep = ~ann["iscrowd"]  # crowds are not recall targets (COCO conv.)
+        gt = ann["boxes"][keep]
+        if len(gt) == 0:
             continue
-        iou = np.asarray(iou_matrix(jnp.asarray(out["boxes"][0]),
-                                    jnp.asarray(ann["boxes"])))
+        iou = np.asarray(iou_matrix(boxes, jnp.asarray(gt)))
         m = iou.max(0)
         hits += int((m >= 0.5).sum())
-        total += len(ann["boxes"])
+        total += len(gt)
         best.extend(m.tolist())
     return {"proposal_recall@0.5": hits / max(total, 1),
             "mean_best_iou": float(np.mean(best)) if best else 0.0,
@@ -101,14 +121,12 @@ def main(argv=None) -> None:
         from multipathnet_tpu.train.proposal import ProposalTrainer
 
         trainer = ProposalTrainer(cfg)
-        pipe = DetectionPipeline(loader, props, cfg.data,
-                                 batch_size=cfg.train.batch_size,
-                                 seed=cfg.train.seed, with_masks=True)
     else:
         trainer = Trainer(cfg)
-        pipe = DetectionPipeline(loader, props, cfg.data,
-                                 batch_size=cfg.train.batch_size,
-                                 seed=cfg.train.seed)
+    pipe = DetectionPipeline(loader, props, cfg.data,
+                             batch_size=cfg.train.batch_size,
+                             seed=cfg.train.seed,
+                             with_masks=args.proposal_net)
     ckpt = Checkpointer(os.path.join(cfg.train.checkpoint_dir, "ckpt"))
     logger = MetricsLogger(
         os.path.join(cfg.train.checkpoint_dir, "metrics.jsonl"),
@@ -126,7 +144,7 @@ def main(argv=None) -> None:
 
     def run_eval(params, tag):
         if args.proposal_net:
-            m = _proposal_recall(trainer, params, loader)
+            m = _proposal_recall(trainer, params, loader, cfg)
         else:
             m = Tester(trainer.model, params, cfg, loader, props).test()
         logger.log(int(np.asarray(state.step)), tag=tag, **m)
