@@ -108,24 +108,43 @@ class Tester:
 
     def collect_detections(self, max_images: int = None,
                            with_segm: bool = False) -> list[dict]:
-        results = []
-        done = 0
-        for idxs, batch in self.pipeline.eval_batches():
-            out = self.detector(batch.images, batch.src_hws, batch.proposals,
-                                batch.prop_mask)
+        """Pipelined split loop: batch N+1's host->device transfer is
+        enqueued while batch N's detect graph runs, and batch N's (host)
+        COCO-dict conversion happens while batch N+1 computes — the detector
+        dispatch is asynchronous, so conversion of the previous output is
+        the natural overlap window. Results are identical to the serial
+        loop (pure reordering of host work)."""
+        import jax
+
+        from multipathnet_tpu.data.pipeline import device_prefetch
+
+        def convert(idxs, out):
             ids = [self.loader.image_id(i) for i in idxs]
-            sliced = {k: v[: len(ids)] for k, v in out.items()}
+            sliced = {k: np.asarray(v)[: len(ids)] for k, v in out.items()}
             rles = None
             if with_segm:
                 rles = [self.proposals.rles_for_image_id(i) for i in ids]
                 assert all(r is not None for r in rles), (
                     "segm eval needs a mask-proposal store "
                     "(ProposalStore.from_mask_proposals)")
-            results.extend(detections_to_coco(
-                sliced, ids, self.loader.label_to_cat, rles_per_image=rles))
-            done += len(ids)
+            return detections_to_coco(
+                sliced, ids, self.loader.label_to_cat, rles_per_image=rles)
+
+        results = []
+        done = 0
+        pending = None
+        put = lambda ib: (ib[0], jax.device_put(ib[1]))  # noqa: E731
+        for idxs, batch in device_prefetch(self.pipeline.eval_batches(), put):
+            out = self.detector(batch.images, batch.src_hws, batch.proposals,
+                                batch.prop_mask)
+            if pending is not None:
+                results.extend(convert(*pending))
+            pending = (idxs, out)
+            done += len(idxs)
             if max_images and done >= max_images:
                 break
+        if pending is not None:
+            results.extend(convert(*pending))
         return results
 
     def test(self, max_images: int = None, verbose: bool = False,
