@@ -93,3 +93,35 @@ def test_groundtruth_conversion(setup):
     for g in gts:
         assert g["bbox"][2] > 0 and g["bbox"][3] > 0
         assert g["category_id"] in loader.category_ids
+
+
+def test_detector_hostile_inputs_stay_finite(setup):
+    """Robustness probes promoted from the on-TPU verify script: all-invalid
+    proposal masks, garbage coordinates in masked-out rows, zero-area but
+    VALID boxes, and uint8 inputs must all produce finite, masked output."""
+    cfg, model, params, loader, props = setup
+    b, p = 2, 24
+    images = jnp.asarray(RNG.integers(0, 255, (b, 64, 64, 3)), jnp.uint8)
+    src_hws = jnp.full((b, 2), 64.0, jnp.float32)
+    x1 = RNG.uniform(0, 40, (b, p)).astype(np.float32)
+    y1 = RNG.uniform(0, 40, (b, p)).astype(np.float32)
+    w = RNG.uniform(4, 24, (b, p)).astype(np.float32)
+    props_a = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + w], -1))
+    # garbage coords in masked-out tail + a zero-area valid box
+    props_a = props_a.at[:, -4:].set(jnp.asarray([1e4, 1e4, 1e4, 1e4]))
+    props_a = props_a.at[:, 5].set(jnp.asarray([20.0, 20.0, 20.0, 20.0]))
+    mask = jnp.ones((b, p), bool).at[:, -4:].set(False)
+
+    out = detect_batch(params, model, cfg, images, src_hws, props_a, mask)
+    for k in ("boxes", "scores"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    # no detection may originate from a masked-out (garbage) proposal slot
+    valid = np.asarray(out["valid"])
+    src = np.asarray(out["indices"])
+    assert not np.any(valid & (src >= p - 4)), "garbage slot leaked through"
+
+    # all-invalid mask: finite and (at most) nothing valid survives scoring
+    out0 = detect_batch(params, model, cfg, images, src_hws, props_a,
+                        jnp.zeros((b, p), bool))
+    assert np.isfinite(np.asarray(out0["scores"])).all()
+    assert int(np.asarray(out0["valid"]).sum()) == 0
