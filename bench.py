@@ -111,7 +111,8 @@ def main() -> None:
     log(f"{args.iters} iters x {b} imgs in {dt:.2f}s")
 
     print(json.dumps({
-        "metric": f"images/sec/chip (MultiPath VGG-16, {p_} proposals/img, "
+        "metric": f"images/sec/chip (MultiPath {cfg.model.backbone}, "
+                  f"{p_} proposals/img, "
                   f"{s}x{s}, batch {b}, proposals->detections on device)",
         "value": round(ips, 3),
         "unit": "images/sec",
