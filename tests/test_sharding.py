@@ -79,3 +79,17 @@ def test_tp_second_step_runs(data):
     state, m = trainer.step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert int(np.asarray(state.step)) == 2
+
+
+@pytest.mark.slow
+def test_tp4_matches_dp(data):
+    """Model axis wider than 2: a 2x4 (data x model) mesh reproduces the
+    pure-DP loss and shards each FC kernel into quarters — the Megatron
+    rules must hold at any width that divides fc_dim."""
+    cfg, batch = data
+    l_dp, _, _ = _loss_after_step(cfg, batch, make_mesh(n_data=4))
+    l_tp, _, state = _loss_after_step(
+        cfg, batch, make_mesh(n_data=2, n_model=4))
+    assert l_dp == pytest.approx(l_tp, rel=1e-4)
+    fc6 = state.params["params"]["head"]["fc6_f0"]["kernel"]
+    assert fc6.sharding.shard_shape(fc6.shape)[1] == fc6.shape[1] // 4
