@@ -290,9 +290,10 @@ def _wpt_fwd(flat, row0, x0, wy, wx, tile, interpret):
 # of lax.scatter_add: the scatter is HBM-traffic-bound and pays full-pyramid
 # zero-init + RMW, while for Wmax <= _PLACE_MM_MAX_W the placement matmuls
 # (probe: 11.5 vs 20.8 ms standalone on the c5 shapes, docs/PERF.md) write
-# the grad buffer once. Wide levels (c3/c4) keep the scatter: their one-hot
-# row matrices grow with R*W and measured slower.
-_PLACE_MM_MAX_W = 64
+# the grad buffer once and accumulate in f32 on the MXU. c4 (W=80) measured
+# a wash on speed but keeps the better numerics; c3 (W=160) keeps the
+# scatter — its one-hot row matrices grow with R*W and measured slower.
+_PLACE_MM_MAX_W = 96
 
 
 def _place_windows(row0, x0, gwin, shape, dtype, f32_dot=False):

@@ -90,7 +90,7 @@ def test_trainable_train_step_runs_with_pallas_impl():
 def test_placement_gemms_match_scatter():
     """_place_windows (narrow-level backward) must equal the scatter-add it
     replaces, on both narrow (routed) and forced-wide shapes."""
-    for R, W, N in ((48, 24, 37), (30, 160, 11)):
+    for R, W, N in ((48, 24, 37), (40, 80, 21), (30, 160, 11)):
         row0 = jnp.asarray(RNG.integers(0, R - 10, N), jnp.int32)
         x0 = jnp.asarray(
             np.minimum(RNG.integers(0, W, N) // 8 * 8, W - 16), jnp.int32)
