@@ -39,26 +39,33 @@ def _proposal_recall(trainer, params, loader, cfg, top_k: int = 64,
     import jax
     import jax.numpy as jnp
 
+    from multipathnet_tpu.core.padding import pad_axis_to
     from multipathnet_tpu.data.transforms import batch_resize_to_canvas
     from multipathnet_tpu.models.sharpmask import generate_proposals
     from multipathnet_tpu.ops.boxes import iou_matrix
 
-    @jax.jit
-    def run(p, raw_u8, src_hw):
-        canvas, scale = batch_resize_to_canvas(
-            raw_u8[None], cfg.data.image_size, src_hw[None])
-        out = generate_proposals(trainer.model, p, canvas, top_k=top_k,
-                                 with_masks=False)
-        return out["boxes"][0] / scale[0]  # back to raw image coords
+    # memoized on the trainer: re-jitting per eval call would recompile the
+    # whole generator graph on every --eval-every tick
+    run = getattr(trainer, "_recall_jit", None)
+    if run is None:
+        @jax.jit
+        def run(p, raw_u8, src_hw):
+            canvas, scale = batch_resize_to_canvas(
+                raw_u8[None], cfg.data.image_size, src_hw[None])
+            out = generate_proposals(trainer.model, p, canvas, top_k=top_k,
+                                     with_masks=False)
+            return out["boxes"][0] / scale[0]  # back to raw image coords
 
-    hmax = max(loader.image_size(i)[0] for i in range(len(loader)))
-    wmax = max(loader.image_size(i)[1] for i in range(len(loader)))
+        trainer._recall_jit = run
+
+    sizes = [loader.image_size(i) for i in range(len(loader))]
+    hmax, wmax = (max(s[d] for s in sizes) for d in (0, 1))
     hits, total, best = 0, 0, []
     for i in range(min(len(loader), max_images)):
         img = loader.load_image(i)
         h, w = img.shape[:2]
-        pad = np.zeros((hmax, wmax, 3), img.dtype)
-        pad[:h, :w] = img  # fixed canvas => one compile for the whole split
+        # fixed canvas => one compile for the whole split
+        pad = pad_axis_to(pad_axis_to(img, hmax, 0), wmax, 1)
         boxes = run(params, jnp.asarray(pad),
                     jnp.asarray([h, w], jnp.float32))
         ann = loader.annotations(i)

@@ -130,10 +130,12 @@ class Tester:
             return detections_to_coco(
                 sliced, ids, self.loader.label_to_cat, rles_per_image=rles)
 
+        def put(ib):
+            return ib[0], jax.device_put(ib[1])
+
         results = []
         done = 0
         pending = None
-        put = lambda ib: (ib[0], jax.device_put(ib[1]))  # noqa: E731
         for idxs, batch in device_prefetch(self.pipeline.eval_batches(), put):
             out = self.detector(batch.images, batch.src_hws, batch.proposals,
                                 batch.prop_mask)

@@ -108,8 +108,9 @@ def main() -> None:
     rngs = {"dropout": jax.random.key(1)}
     images = jnp.asarray(rng.standard_normal(
         (args.batch, args.size, args.size, 3)), jnp.float32)
-    rois = batch.gt_boxes[:, : args.rois, :]
-    rois = jnp.tile(rois, (1, -(-args.rois // rois.shape[1]), 1))[:, :args.rois]
+    # realistic proposal boxes at the stage shapes (same generator as the
+    # chained-step batch)
+    rois = batch.proposals[:, : args.rois, :]
 
     def stage(label, f, *a):
         t, _ = timed(jax.jit(f), *a, iters=args.iters)
