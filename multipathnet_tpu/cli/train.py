@@ -44,9 +44,13 @@ def _proposal_recall(trainer, params, loader, cfg, top_k: int = 64,
     from multipathnet_tpu.models.sharpmask import generate_proposals
     from multipathnet_tpu.ops.boxes import iou_matrix
 
-    # memoized on the trainer: re-jitting per eval call would recompile the
-    # whole generator graph on every --eval-every tick
-    run = getattr(trainer, "_recall_jit", None)
+    # memoized on the trainer, KEYED BY top_k (the closure bakes it in):
+    # re-jitting per eval call would recompile the whole generator graph on
+    # every --eval-every tick
+    cache = getattr(trainer, "_recall_jit", None)
+    if cache is None:
+        cache = trainer._recall_jit = {}
+    run = cache.get(top_k)
     if run is None:
         @jax.jit
         def run(p, raw_u8, src_hw):
@@ -56,7 +60,7 @@ def _proposal_recall(trainer, params, loader, cfg, top_k: int = 64,
                                      with_masks=False)
             return out["boxes"][0] / scale[0]  # back to raw image coords
 
-        trainer._recall_jit = run
+        cache[top_k] = run
 
     sizes = [loader.image_size(i) for i in range(len(loader))]
     hmax, wmax = (max(s[d] for s in sizes) for d in (0, 1))

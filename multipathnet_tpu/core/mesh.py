@@ -4,6 +4,13 @@ TPU-native replacement for the reference's nn.DataParallelTable (SURVEY.md §2.3
 data parallelism is `pjit`/`shard_map` over a named mesh with XLA collectives over
 ICI, not replicate/scatter/allreduce calls. A "model" axis is reserved so FC heads
 *can* tensor-shard later without train-loop changes (SURVEY.md §2.3 TP row).
+
+TP boundary (explicit): only the foveal fc6/fc7 GEMMs shard over the "model"
+axis — they carry ~85% of head params at VGG scale (4 x 2 x 4096x4096-class
+matrices). The final cls_bbox GEMM (F*fc_dim x ~(K*classes+4*classes)) and
+the conv trunk stay REPLICATED: at VGG-16/COCO scale cls_bbox is ~7 ms of a
+~106 ms batch and sharding it would trade one all-gather per step for a
+minor GEMM split. Revisit if a trunk or head 10x larger ever lands.
 """
 
 from __future__ import annotations

@@ -189,11 +189,15 @@ class MultiPathNet(nn.Module):
                 pyr_bytes = (meta.flat.shape[0] * meta.flat.shape[1]
                              * meta.flat.shape[2] * meta.flat.dtype.itemsize)
                 if pyr_bytes <= resident_budget:
+                    # trainable=False always: the `not train` guard above is
+                    # the single switch — resident training pooling is
+                    # intentionally not wired up (the trainable VJP belongs
+                    # to the window/multi kernels).
                     out = roi_pallas.batched_pyramid_pool_resident(
                         pyramids[levels[0]][0], meta, vflat, b,
                         output_size=g,
                         samples_per_bin=self.cfg.roi_samples_per_bin,
-                        interpret=interp, trainable=train)[..., :c]
+                        interpret=interp, trainable=False)[..., :c]
                     outs.append(out.reshape(b, nf, r, g, g, c))
                     continue
             img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)

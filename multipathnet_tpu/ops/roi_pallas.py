@@ -323,7 +323,17 @@ def _place_windows(row0, x0, gwin, shape, dtype, f32_dot=False):
 
 
 def _accumulate_windows(row0, x0, gwin, shape, dtype, f32_dot=False):
-    """Route between the placement GEMMs (narrow levels) and scatter-add."""
+    """Route between the placement GEMMs (narrow levels) and scatter-add.
+
+    Indices are clamped so a window never hangs past the buffer edge —
+    matching the scatter path's GatherScatterMode.CLIP. view_geometry
+    already clamps its outputs, but this helper is general-looking enough
+    that a future caller could feed raw indices; without the clamp the
+    GEMM path would silently DROP out-of-bounds one-hot rows where the
+    scatter would clamp them."""
+    n, ht, wd, _ = gwin.shape
+    row0 = jnp.clip(row0, 0, shape[0] - ht)
+    x0 = jnp.clip(x0, 0, shape[1] - wd)
     if shape[1] <= _PLACE_MM_MAX_W:
         return _place_windows(row0, x0, gwin, shape, dtype, f32_dot)
     idx = jnp.stack([row0, x0], axis=-1).astype(jnp.int32)
