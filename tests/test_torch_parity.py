@@ -204,3 +204,205 @@ def test_resnet18_trunk_parity():
         got = np.asarray(out[lvl]).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want[lvl].numpy(),
                                    atol=2e-4, rtol=2e-4)
+
+
+# --- full-model logits parity (VERDICT r2 item 1: the head mapping) ---------
+
+
+class TorchMultiPathReference(torch.nn.Module):
+    """The torch translation of the MultiPath reference-mode model OUR
+    architecture mirrors (SURVEY.md §2.1 "MultiPath model builder"):
+    VGG-16 trunk -> per-view ROI max-pool of raw maps (inn.ROIPooling
+    semantics) -> level concat -> 1x1 reduce + ReLU -> per-branch fc6/fc7 ->
+    foveal concat -> K integral classifiers + bbox regressor. Its state dict
+    IS the import contract of import_weights.multipath_head_params_from_
+    state_dict; the parity test proves image+proposals -> scores/deltas
+    end to end."""
+
+    def __init__(self, skip_channels, d=64, fc=128, g=7, n_f=4, n_k=6,
+                 ncls=7):
+        super().__init__()
+        import torch.nn as tnn
+
+        self.skip_channels = dict(skip_channels)
+        self.g = g
+        self.trunk = build_torch_vgg16()
+        self.reduce = tnn.Conv2d(sum(skip_channels.values()), d, 1)
+        self.fc6 = tnn.ModuleList(
+            [tnn.Linear(g * g * d, fc) for _ in range(n_f)])
+        self.fc7 = tnn.ModuleList([tnn.Linear(fc, fc) for _ in range(n_f)])
+        self.classifier = tnn.ModuleList(
+            [tnn.Linear(n_f * fc, ncls) for _ in range(n_k)])
+        self.bbox = tnn.Linear(n_f * fc, 4 * ncls)
+
+    @staticmethod
+    def _expand_clip(rois, factor, h, w):
+        """ops/boxes.expand replica in float32 numpy (center-scale + clip)."""
+        r = rois.astype(np.float32)
+        wh = r[:, 2:4] - r[:, 0:2]
+        c = r[:, 0:2] + np.float32(0.5) * wh
+        wh = wh * np.float32(factor)
+        out = np.concatenate([c - np.float32(0.5) * wh,
+                              c + np.float32(0.5) * wh], axis=1)
+        out[:, 0] = np.clip(out[:, 0], 0, w)
+        out[:, 2] = np.clip(out[:, 2], 0, w)
+        out[:, 1] = np.clip(out[:, 1], 0, h)
+        out[:, 3] = np.clip(out[:, 3], 0, h)
+        return out
+
+    def _roi_pool_max(self, feat, rois, scale):
+        """ops/roi.roi_pool_max replica: float32 bin math, loops (oracle)."""
+        c, h, w = feat.shape
+        g = self.g
+        out = torch.zeros(len(rois), c, g, g)
+        b = (rois * np.float32(scale)).astype(np.float32)
+        bins = np.arange(g, dtype=np.float32)
+        for r in range(len(rois)):
+            x1, y1 = np.floor(b[r, 0]), np.floor(b[r, 1])
+            x2, y2 = np.ceil(b[r, 2]), np.ceil(b[r, 3])
+            roi_h = np.maximum(y2 - y1, np.float32(1.0))
+            roi_w = np.maximum(x2 - x1, np.float32(1.0))
+            ys = np.clip(np.floor(y1 + bins * roi_h / g), 0, h).astype(int)
+            ye = np.clip(np.ceil(y1 + (bins + 1) * roi_h / g), 0, h).astype(int)
+            xs = np.clip(np.floor(x1 + bins * roi_w / g), 0, w).astype(int)
+            xe = np.clip(np.ceil(x1 + (bins + 1) * roi_w / g), 0, w).astype(int)
+            for iy in range(g):
+                for ix in range(g):
+                    cell = feat[:, ys[iy]:ye[iy], xs[ix]:xe[ix]]
+                    if cell.numel():
+                        out[r, :, iy, ix] = cell.amax(dim=(1, 2))
+        return out
+
+    def forward(self, image, rois):
+        """image (1, 3, H, W) normalized; rois (R, 4) numpy image coords.
+        Reference foveal topology: 1x view pools all levels, context views
+        (1.5/2/4x) pool only c5."""
+        h, w = image.shape[2:]
+        feats = torch_taps(self.trunk, image)
+        strides = {"c3": 4, "c4": 8, "c5": 16}
+        ch = self.skip_channels
+        off = {}
+        lo = 0
+        for lvl, c_l in ch.items():
+            off[lvl] = (lo, lo + c_l)
+            lo += c_l
+
+        branches = []
+        for i, (factor, levels) in enumerate(
+                [(1.0, list(ch)), (1.5, ["c5"]), (2.0, ["c5"]),
+                 (4.0, ["c5"])]):
+            views = self._expand_clip(rois, factor, h, w)
+            pooled = torch.cat(
+                [self._roi_pool_max(feats[l][0], views, 1.0 / strides[l])
+                 for l in levels], dim=1)
+            if len(levels) == len(ch):
+                red = self.reduce(pooled)
+            else:
+                lvl = levels[0]
+                wslice = self.reduce.weight[:, off[lvl][0]:off[lvl][1]]
+                red = torch.nn.functional.conv2d(pooled, wslice,
+                                                 self.reduce.bias)
+            x = torch.relu(red).reshape(len(rois), -1)  # NCHW flatten
+            x = torch.relu(self.fc6[i](x))
+            x = torch.relu(self.fc7[i](x))
+            branches.append(x)
+        cat = torch.cat(branches, dim=1)
+        scores = torch.stack([c(cat) for c in self.classifier], dim=1)
+        return scores, self.bbox(cat)
+
+
+def test_full_model_parity_reference_mode():
+    """Full-model parity vs torch-CPU on random weights: trunk + head weight
+    mapping (import_weights) + model assembly (reference preset: roi max
+    semantics, reference foveal topology) produce identical logits."""
+    import dataclasses
+
+    import jax
+
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.models.multipath import build_model
+
+    skip_channels = {"c3": 256, "c4": 512, "c5": 512}
+    torch.manual_seed(3)
+    tm = TorchMultiPathReference(skip_channels).eval()
+
+    cfg = preset("multipath_vgg16_reference")
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, fc_dim=128, skip_reduce_dim=64, num_classes=7,
+        dtype="float32"))
+    model = build_model(cfg.model)
+
+    rng = np.random.default_rng(7)
+    img = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    x1 = rng.uniform(0, 40, (6, 1)).astype(np.float32)
+    y1 = rng.uniform(0, 40, (6, 1)).astype(np.float32)
+    rois = np.concatenate(
+        [x1, y1, x1 + rng.uniform(8, 24, (6, 1)).astype(np.float32),
+         y1 + rng.uniform(8, 24, (6, 1)).astype(np.float32)], axis=1)
+
+    with torch.no_grad():
+        want_s, want_b = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                            rois)
+
+    # export the contract state dict
+    state = {}
+    conv_i = 0
+    for layer in tm.trunk:
+        if isinstance(layer, torch.nn.Conv2d):
+            idx = IW.VGG16_TORCH_INDICES[conv_i]
+            state[f"features.{idx}.weight"] = layer.weight.detach().numpy()
+            state[f"features.{idx}.bias"] = layer.bias.detach().numpy()
+            conv_i += 1
+    head_state = {"reduce.weight": tm.reduce.weight.detach().numpy(),
+                  "reduce.bias": tm.reduce.bias.detach().numpy(),
+                  "bbox.weight": tm.bbox.weight.detach().numpy(),
+                  "bbox.bias": tm.bbox.bias.detach().numpy()}
+    for i in range(4):
+        head_state[f"fc6.{i}.weight"] = tm.fc6[i].weight.detach().numpy()
+        head_state[f"fc6.{i}.bias"] = tm.fc6[i].bias.detach().numpy()
+        head_state[f"fc7.{i}.weight"] = tm.fc7[i].weight.detach().numpy()
+        head_state[f"fc7.{i}.bias"] = tm.fc7[i].bias.detach().numpy()
+    for k in range(6):
+        head_state[f"classifier.{k}.weight"] = \
+            tm.classifier[k].weight.detach().numpy()
+        head_state[f"classifier.{k}.bias"] = \
+            tm.classifier[k].bias.detach().numpy()
+
+    variables = model.init(jax.random.key(0), jnp.asarray(img),
+                           jnp.asarray(rois[None]))
+    variables = IW.install_backbone_params(
+        dict(variables), IW.vgg16_params_from_state_dict(state))
+    variables = IW.install_head_params(
+        variables, IW.multipath_head_params_from_state_dict(
+            head_state, skip_channels=skip_channels))
+
+    scores, deltas = model.apply(variables, jnp.asarray(img),
+                                 jnp.asarray(rois[None]))
+    np.testing.assert_allclose(np.asarray(scores)[0], want_s.numpy(),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(deltas)[0], want_b.numpy(),
+                               atol=2e-3, rtol=1e-3)
+
+    # foveal_order contract: a checkpoint whose branches were concatenated
+    # in reverse maps to the SAME flax params when foveal_order says so
+    fc = 128
+    state_rev = dict(head_state)
+    for j in range(4):
+        src = 3 - j
+        for nm in ("fc6", "fc7"):
+            state_rev[f"{nm}.{j}.weight"] = head_state[f"{nm}.{src}.weight"]
+            state_rev[f"{nm}.{j}.bias"] = head_state[f"{nm}.{src}.bias"]
+    for k in range(6):
+        wsrc = head_state[f"classifier.{k}.weight"]
+        state_rev[f"classifier.{k}.weight"] = np.concatenate(
+            [wsrc[:, (3 - j) * fc:(4 - j) * fc] for j in range(4)], axis=1)
+    state_rev["bbox.weight"] = np.concatenate(
+        [head_state["bbox.weight"][:, (3 - j) * fc:(4 - j) * fc]
+         for j in range(4)], axis=1)
+    a = IW.multipath_head_params_from_state_dict(
+        head_state, skip_channels=skip_channels)
+    b = IW.multipath_head_params_from_state_dict(
+        state_rev, skip_channels=skip_channels, foveal_order=(3, 2, 1, 0))
+    for key in ("fc6_f0", "fc7_f3", "cls_bbox"):
+        np.testing.assert_array_equal(a["head"][key]["kernel"],
+                                      b["head"][key]["kernel"])
