@@ -92,6 +92,74 @@ class ProposalStore:
         return store
 
     @classmethod
+    def from_t7(cls, path: str, image_ids=None, one_based: bool = True,
+                long_size: int = 8) -> "ProposalStore":
+        """Ingest a reference-era Torch7 proposal file directly (SURVEY.md
+        §2.1: training/eval consume precomputed `.t7` proposals; the released
+        DeepMask/SharpMask files are this format). Uses the in-repo t7
+        reader — no torch/torchfile, no off-box conversion (docs/PARITY.md).
+
+        Accepted layouts (the exact released schema is unverifiable — empty
+        reference mount — so aliases cover the plausible variants):
+          {boxes = {tensor (Pi,4) per image, 1..I}, scores = {...}?,
+           images|ids|indexes = {...}?}
+        Field aliases: boxes|bboxes|proposals; scores|objn; a (I,Pi,4) 3-D
+        tensor also works. Box coords convert from Lua 1-based inclusive
+        corners to our 0-based half-open convention (x1-1, y1-1, x2, y2 —
+        same rule as the VOC devkit ingestion) unless one_based=False.
+
+        image_ids: aligned ids for the loader; overrides any ids in the
+        file (file names there can't be resolved to ids here)."""
+        from multipathnet_tpu.data import t7
+
+        obj = t7.load(path, long_size=long_size)
+        if isinstance(obj, t7.T7Object):
+            obj = obj.fields
+        if isinstance(obj, np.ndarray):
+            obj = {"boxes": obj}
+        assert isinstance(obj, dict), f"unsupported .t7 payload {type(obj)}"
+
+        def pick(*names):
+            for n in names:
+                if n in obj:
+                    return obj[n]
+            return None
+
+        raw = pick("boxes", "bboxes", "proposals")
+        assert raw is not None, f".t7 has no boxes field (keys={list(obj)})"
+        if isinstance(raw, dict):
+            per_image = [np.asarray(b, np.float32).reshape(-1, 4)
+                         for b in t7.as_list(raw)]
+        else:
+            arr = np.asarray(raw, np.float32)
+            assert arr.ndim == 3 and arr.shape[-1] == 4, arr.shape
+            per_image = list(arr)
+        if one_based:
+            per_image = [b - np.array([1, 1, 0, 0], np.float32)
+                         for b in per_image]
+
+        raw_scores = pick("scores", "objn", "score")
+        if raw_scores is None:
+            per_scores = [np.zeros(len(b), np.float32) for b in per_image]
+        elif isinstance(raw_scores, dict):
+            per_scores = [np.asarray(s, np.float32).reshape(-1)
+                          for s in t7.as_list(raw_scores)]
+        else:
+            per_scores = list(np.asarray(raw_scores, np.float32))
+
+        if image_ids is None:
+            ids = pick("image_ids", "ids", "indexes")
+            if ids is not None and not isinstance(
+                    next(iter(t7.as_list(ids) if isinstance(ids, dict)
+                              else ids), 0), str):
+                image_ids = np.asarray(
+                    t7.as_list(ids) if isinstance(ids, dict) else ids,
+                    np.int64)
+            else:
+                image_ids = np.arange(len(per_image), dtype=np.int64)
+        return cls.from_lists(per_image, per_scores, image_ids)
+
+    @classmethod
     def from_lists(cls, per_image_boxes, per_image_scores, image_ids):
         offsets = np.zeros(len(image_ids) + 1, np.int64)
         for i, b in enumerate(per_image_boxes):

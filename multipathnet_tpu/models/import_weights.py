@@ -255,6 +255,17 @@ def multipath_head_params_from_state_dict(
     return out
 
 
+def load_t7(path: str, long_size: int = 8) -> dict:
+    """Torch7 `.t7` checkpoint -> flattened {dotted.path: ndarray} state
+    dict via the in-repo reader (data/t7.py) — the first step of the parity
+    runbook now runs on-box (docs/PARITY.md step 1; SURVEY.md §2.1 Demo row:
+    `resnet18_integral_coco.t7`). The caller renames the dotted nn-module
+    paths (modules.N....) onto the explicit contracts above."""
+    from multipathnet_tpu.data import t7
+
+    return t7.state_dict(t7.load(path, long_size=long_size))
+
+
 def install_head_params(full_params: dict, head_params: dict) -> dict:
     """Graft multipath_head_params_from_state_dict output into a model.init
     param tree (params/{reduce_*,head}). Returns a new tree."""

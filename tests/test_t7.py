@@ -1,0 +1,288 @@
+"""Torch7 `.t7` reader tests — hand-built byte fixtures (VERDICT r2 item 5).
+
+No torchfile/torch-writer exists in this environment, so the fixtures are
+written byte-by-byte from the format definition (torch7 File.lua): int32
+type tags, float64 numbers, int32-length strings, int64 longs. The helpers
+below are a minimal format WRITER used only to compose fixtures; every
+structural byte (tags, heap indices, 1-based storage offsets) is explicit
+at the call sites so a reader bug can't cancel a writer bug.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from multipathnet_tpu.data import t7
+
+
+def w_int(i):
+    return struct.pack("<i", i)
+
+
+def w_long(v):
+    return struct.pack("<q", v)
+
+
+def w_num(x):
+    return w_int(t7.TYPE_NUMBER) + struct.pack("<d", x)
+
+
+def w_rawstr(s):  # size+bytes, NO tag (torch object class/version strings)
+    b = s.encode()
+    return w_int(len(b)) + b
+
+
+def w_str(s):
+    return w_int(t7.TYPE_STRING) + w_rawstr(s)
+
+
+def w_bool(b):
+    return w_int(t7.TYPE_BOOLEAN) + w_int(1 if b else 0)
+
+
+def w_nil():
+    return w_int(t7.TYPE_NIL)
+
+
+def w_table(idx, pairs):
+    body = b"".join(k + v for k, v in pairs)
+    return w_int(t7.TYPE_TABLE) + w_int(idx) + w_int(len(pairs)) + body
+
+
+def w_ref(idx, tag=t7.TYPE_TABLE):
+    """Re-reference a memoized heap object."""
+    return w_int(tag) + w_int(idx)
+
+
+def w_storage(idx, name, arr):
+    arr = np.asarray(arr)
+    return (w_int(t7.TYPE_TORCH) + w_int(idx) + w_rawstr("V 1")
+            + w_rawstr(name) + w_long(arr.size) + arr.tobytes())
+
+
+def w_tensor(idx, name, sizes, strides, offset1, storage_bytes):
+    return (w_int(t7.TYPE_TORCH) + w_int(idx) + w_rawstr("V 1")
+            + w_rawstr(name) + w_long(len(sizes))
+            + b"".join(w_long(s) for s in sizes)
+            + b"".join(w_long(s) for s in strides)
+            + w_long(offset1) + storage_bytes)
+
+
+def w_object(idx, classname, table_bytes, version="V 1"):
+    return (w_int(t7.TYPE_TORCH) + w_int(idx) + w_rawstr(version)
+            + w_rawstr(classname) + table_bytes)
+
+
+def test_scalars():
+    assert t7.loads(w_num(3.5)) == 3.5
+    assert t7.loads(w_num(7.0)) == 7 and isinstance(t7.loads(w_num(7.0)), int)
+    assert t7.loads(w_str("hello")) == "hello"
+    assert t7.loads(w_bool(True)) is True
+    assert t7.loads(w_bool(False)) is False
+    assert t7.loads(w_nil()) is None
+
+
+def test_table_and_memoization():
+    inner = w_table(2, [(w_str("x"), w_num(1))])
+    # {a = {x=1}, b = <same table>, n = 4}
+    data = w_table(1, [
+        (w_str("a"), inner),
+        (w_str("b"), w_ref(2)),
+        (w_str("n"), w_num(4)),
+    ])
+    out = t7.loads(data)
+    assert out["n"] == 4
+    assert out["a"] == {"x": 1}
+    assert out["a"] is out["b"]  # heap-memoized identity, not a copy
+
+
+def test_lua_array_table():
+    data = w_table(1, [(w_num(i), w_num(i * 10)) for i in (1, 2, 3)])
+    assert t7.as_list(t7.loads(data)) == [10, 20, 30]
+    with pytest.raises(ValueError):
+        t7.as_list({1: "a", 3: "c"})
+
+
+def test_float_tensor_contiguous():
+    vals = np.arange(6, dtype=np.float32)
+    data = w_tensor(1, "torch.FloatTensor", [2, 3], [3, 1], 1,
+                    w_storage(2, "torch.FloatStorage", vals))
+    arr = t7.loads(data)
+    assert arr.dtype == np.float32
+    np.testing.assert_array_equal(arr, vals.reshape(2, 3))
+
+
+def test_tensor_offset_and_transposed_strides():
+    # storage [0..8); tensor is a 2x3 TRANSPOSED view starting at offset 2
+    # (torch storageOffset 3, 1-based): elem[i,j] = storage[2 + i + 2j]
+    vals = np.arange(8, dtype=np.float64)
+    data = w_tensor(1, "torch.DoubleTensor", [2, 3], [1, 2], 3,
+                    w_storage(2, "torch.DoubleStorage", vals))
+    arr = t7.loads(data)
+    want = np.lib.stride_tricks.as_strided(
+        vals[2:], shape=(2, 3), strides=(8, 16))
+    np.testing.assert_array_equal(arr, want)
+
+
+def test_shared_storage_and_tensor_reref():
+    vals = np.arange(4, dtype=np.float32)
+    st = w_storage(3, "torch.FloatStorage", vals)
+    t_a = w_tensor(1, "torch.FloatTensor", [4], [1], 1, st)
+    t_b = w_tensor(2, "torch.FloatTensor", [2], [1], 3, w_ref(3, t7.TYPE_TORCH))
+    data = w_table(4, [(w_str("a"), t_a), (w_str("b"), t_b),
+                       (w_str("a2"), w_ref(1, t7.TYPE_TORCH))])
+    out = t7.loads(data)
+    np.testing.assert_array_equal(out["a"], vals)
+    np.testing.assert_array_equal(out["b"], vals[2:])  # shared storage
+    assert out["a"] is out["a2"]  # tensor heap memoization
+
+
+def test_byte_and_long_tensors():
+    bvals = np.array([1, 2, 250], np.uint8)
+    data = w_tensor(1, "torch.ByteTensor", [3], [1], 1,
+                    w_storage(2, "torch.ByteStorage", bvals))
+    np.testing.assert_array_equal(t7.loads(data), bvals)
+    lvals = np.array([-5, 2 ** 40], np.int64)
+    data = w_tensor(1, "torch.LongTensor", [2], [1], 1,
+                    w_storage(2, "torch.LongStorage", lvals))
+    np.testing.assert_array_equal(t7.loads(data), lvals)
+
+
+def test_empty_tensor():
+    data = w_tensor(1, "torch.FloatTensor", [], [], 1, w_nil())
+    assert t7.loads(data).size == 0
+
+
+def test_long_size_4():
+    vals = np.arange(3, dtype=np.float32)
+    st = (w_int(t7.TYPE_TORCH) + w_int(2) + w_rawstr("V 1")
+          + w_rawstr("torch.FloatStorage") + struct.pack("<i", 3)
+          + vals.tobytes())
+    data = (w_int(t7.TYPE_TORCH) + w_int(1) + w_rawstr("V 1")
+            + w_rawstr("torch.FloatTensor") + struct.pack("<i", 1)
+            + struct.pack("<i", 3) + struct.pack("<i", 1)
+            + struct.pack("<i", 1) + st)
+    np.testing.assert_array_equal(t7.loads(data, long_size=4), vals)
+
+
+def test_pre_versioning_classname():
+    # ancient files: the "version" string IS the class name
+    vals = np.arange(2, dtype=np.float32)
+    st = (w_int(t7.TYPE_TORCH) + w_int(2) + w_rawstr("torch.FloatStorage")
+          + w_long(2) + vals.tobytes())
+    data = (w_int(t7.TYPE_TORCH) + w_int(1) + w_rawstr("torch.FloatTensor")
+            + w_long(1) + w_long(2) + w_long(1) + w_long(1) + st)
+    np.testing.assert_array_equal(t7.loads(data), vals)
+
+
+def test_function_record_is_inert():
+    fn = (w_int(t7.TYPE_RECUR_FUNCTION) + w_int(1) + w_int(4) + b"\x1bLua"
+          + w_table(2, [(w_str("up"), w_num(1))]))
+    data = w_table(3, [(w_str("f"), fn), (w_str("x"), w_num(2))])
+    out = t7.loads(data)
+    assert isinstance(out["f"], t7.T7Function)
+    assert out["f"].dump == b"\x1bLua"
+    assert out["x"] == 2
+
+
+def _linear_bytes(idx, w_idx, b_idx, wvals, bvals, in_dim, out_dim):
+    wt = w_tensor(w_idx, "torch.FloatTensor", [out_dim, in_dim], [in_dim, 1],
+                  1, w_storage(w_idx + 100, "torch.FloatStorage", wvals))
+    bt = w_tensor(b_idx, "torch.FloatTensor", [out_dim], [1], 1,
+                  w_storage(b_idx + 100, "torch.FloatStorage", bvals))
+    table = w_table(idx + 50, [
+        (w_str("weight"), wt),
+        (w_str("bias"), bt),
+        (w_str("gradWeight"), w_nil()),
+        (w_str("train"), w_bool(False)),
+    ])
+    return w_object(idx, "nn.Linear", table)
+
+
+def test_nn_module_graph_state_dict():
+    """An nn.Sequential{nn.Linear, nn.Linear} graph flattens to dotted-path
+    arrays via t7.state_dict (runtime buffers skipped)."""
+    rng = np.random.default_rng(0)
+    w1, b1 = rng.standard_normal((3, 4)).astype(np.float32), \
+        rng.standard_normal(3).astype(np.float32)
+    w2, b2 = rng.standard_normal((2, 3)).astype(np.float32), \
+        rng.standard_normal(2).astype(np.float32)
+    lin1 = _linear_bytes(10, 11, 12, w1.ravel(), b1, 4, 3)
+    lin2 = _linear_bytes(20, 21, 22, w2.ravel(), b2, 3, 2)
+    modules = w_table(30, [(w_num(1), lin1), (w_num(2), lin2)])
+    seq_table = w_table(31, [(w_str("modules"), modules),
+                             (w_str("output"), w_nil())])
+    data = w_object(32, "nn.Sequential", seq_table)
+
+    obj = t7.loads(data)
+    assert obj.name == "nn.Sequential"
+    sd = t7.state_dict(obj)
+    np.testing.assert_array_equal(sd["modules.1.weight"], w1)
+    np.testing.assert_array_equal(sd["modules.1.bias"], b1)
+    np.testing.assert_array_equal(sd["modules.2.weight"], w2)
+    np.testing.assert_array_equal(sd["modules.2.bias"], b2)
+    assert not any("gradWeight" in k or "output" in k for k in sd)
+
+
+def test_load_roundtrip_file(tmp_path):
+    path = tmp_path / "x.t7"
+    path.write_bytes(w_table(1, [(w_str("k"), w_num(9))]))
+    assert t7.load(str(path)) == {"k": 9}
+
+
+def test_proposal_store_from_t7(tmp_path):
+    """ProposalStore ingests a reference-layout proposal .t7: per-image box
+    tensors, Lua 1-based corners -> 0-based half-open."""
+    from multipathnet_tpu.data.proposals import ProposalStore
+
+    b1 = np.array([[1, 1, 10, 20], [5, 6, 15, 16]], np.float32)
+    b2 = np.array([[2, 3, 8, 9]], np.float32)
+    s1, s2 = np.array([0.9, 0.5], np.float32), np.array([0.7], np.float32)
+
+    def tensor(idx, arr, sizes):
+        st = w_storage(idx + 100, "torch.FloatStorage",
+                       np.asarray(arr, np.float32).ravel())
+        strides = [int(np.prod(sizes[i + 1:])) for i in range(len(sizes))]
+        return w_tensor(idx, "torch.FloatTensor", sizes, strides, 1, st)
+
+    boxes_tbl = w_table(1, [(w_num(1), tensor(10, b1, [2, 4])),
+                            (w_num(2), tensor(11, b2, [1, 4]))])
+    scores_tbl = w_table(2, [(w_num(1), tensor(12, s1, [2])),
+                             (w_num(2), tensor(13, s2, [1]))])
+    ids_tbl = w_table(3, [(w_num(1), w_num(101)), (w_num(2), w_num(202))])
+    data = w_table(4, [(w_str("boxes"), boxes_tbl),
+                       (w_str("scores"), scores_tbl),
+                       (w_str("images"), ids_tbl)])
+    path = tmp_path / "props.t7"
+    path.write_bytes(data)
+
+    store = ProposalStore.from_t7(str(path), image_ids=[101, 202])
+    assert len(store) == 2
+    bx, sc = store.for_image_id(101)
+    np.testing.assert_array_equal(
+        bx, b1 - np.array([1, 1, 0, 0], np.float32))
+    np.testing.assert_array_equal(sc, s1)
+    bx2, _ = store.for_image_id(202)
+    np.testing.assert_array_equal(
+        bx2, b2 - np.array([1, 1, 0, 0], np.float32))
+
+    # ids read from the file when not supplied
+    store2 = ProposalStore.from_t7(str(path))
+    data_ids = w_table(4, [(w_str("boxes"), boxes_tbl),
+                           (w_str("ids"), ids_tbl)])
+    (tmp_path / "p2.t7").write_bytes(data_ids)
+    store3 = ProposalStore.from_t7(str(tmp_path / "p2.t7"))
+    np.testing.assert_array_equal(store3.image_ids, [101, 202])
+    np.testing.assert_array_equal(store3.for_image_id(101)[1], [0, 0])
+
+
+def test_load_t7_checkpoint_state_dict(tmp_path):
+    """import_weights.load_t7 flattens an nn graph from disk."""
+    from multipathnet_tpu.models.import_weights import load_t7
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    lin = _linear_bytes(1, 2, 3, w.ravel(), np.zeros(2, np.float32), 3, 2)
+    (tmp_path / "m.t7").write_bytes(lin)
+    sd = load_t7(str(tmp_path / "m.t7"))
+    np.testing.assert_array_equal(sd["weight"], w)
