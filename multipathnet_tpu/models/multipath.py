@@ -99,7 +99,10 @@ class MultiPathNet(nn.Module):
         scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
 
         if self.cfg.roi_mode == "max":
-            return self._pool_rois_max(feats, rois, image_hw, scales)
+            # training pins the direct path (the windowed max carries no
+            # custom VJP and max-mode training is a parity scenario anyway)
+            return self._pool_rois_max(feats, rois, image_hw, scales,
+                                       impl="direct" if train else impl)
 
         plan = self._view_level_plan()
 
@@ -211,30 +214,55 @@ class MultiPathNet(nn.Module):
         return jnp.concatenate(outs, axis=1)
 
     def _pool_rois_max(self, feats: dict, rois: jnp.ndarray,
-                       image_hw: tuple, scales: dict) -> jnp.ndarray:
+                       image_hw: tuple, scales: dict,
+                       impl: str = "direct") -> jnp.ndarray:
         """Reference-exact path (cfg.roi_mode="max"): max-pool the RAW trunk
         maps with inn.ROIPooling semantics, concat levels, THEN apply the 1x1
         reduction — the reference's operation order, which cannot be hoisted
-        because max is not linear. Routed to the XLA oracle ops (the Pallas
-        kernel is avg-only by design); intended for mAP-parity evaluation
-        against Torch checkpoints, not the production fast path. Honors
-        foveal_topology via the same view x level plan as the align path."""
+        because max is not linear. Intended for mAP-parity evaluation against
+        Torch checkpoints, not the production fast path. Honors
+        foveal_topology via the same view x level plan as the align path.
+
+        impl="direct": the O(R*G^2*H*W) masked-max oracle (bit-exact at every
+        scale, slow — 864 ms/batch-8 measured r2). impl="pyramid"/"pallas"/
+        "auto": the WINDOWED max path (roi_pyramid mode="exact_max", max
+        pyramid + masked window max) — bit-exact for views with bins <= 1
+        base cell, cell-quantized bin edges at coarser pyramid levels
+        (docs/PARITY.md); ~the avg pyramid path's speed."""
         import jax
 
         from multipathnet_tpu.ops import roi as roi_ops
+        from multipathnet_tpu.ops import roi_pyramid
+
+        windowed = impl in ("pyramid", "pallas", "auto")
 
         outs = []
         for factors, levels in self._view_level_plan():
-            def wrapper(*args):
-                f_b = dict(zip(levels, args[:-1]))
-                return roi_ops.multilevel_foveal_roi_features(
-                    f_b, args[-1], scales=scales,
-                    foveal_factors=factors,
-                    image_hw=image_hw,
-                    output_size=self.cfg.roi_output_size,
-                    samples_per_bin=self.cfg.roi_samples_per_bin,
-                    mode="exact_max", combine="concat",
-                )
+            if windowed:
+                def wrapper(*args):
+                    pyrs = {
+                        l: roi_pyramid.build_pyramid(
+                            f_b, scales[l], mode="max",
+                            output_size=self.cfg.roi_output_size)
+                        for l, f_b in zip(levels, args[:-1])
+                    }
+                    return roi_pyramid.multilevel_foveal_pyramid_features(
+                        pyrs, args[-1], foveal_factors=factors,
+                        image_hw=image_hw,
+                        output_size=self.cfg.roi_output_size,
+                        mode="exact_max", combine="concat",
+                    )
+            else:
+                def wrapper(*args):
+                    f_b = dict(zip(levels, args[:-1]))
+                    return roi_ops.multilevel_foveal_roi_features(
+                        f_b, args[-1], scales=scales,
+                        foveal_factors=factors,
+                        image_hw=image_hw,
+                        output_size=self.cfg.roi_output_size,
+                        samples_per_bin=self.cfg.roi_samples_per_bin,
+                        mode="exact_max", combine="concat",
+                    )
 
             pooled = jax.vmap(wrapper)(
                 *[feats[l] for l in levels], rois)  # (B, f, R, g, g, sumC)

@@ -69,16 +69,28 @@ def num_scales_for(h: int, w: int, output_size: int = 7) -> int:
     return max(1, int(math.ceil(math.log2(max(span, 1.0)))) + 1)
 
 
+# Padding value for max pyramids: large-negative finite (min-finite of f32;
+# also representable in bf16). Masked maxes never select it for non-empty
+# bins (bin extents are clamped into the valid map) — it only guards the
+# buffer padding.
+_NEG = -3.0e38
+
+
 def build_pyramid(feat: jnp.ndarray, spatial_scale: float,
                   num_scales: int | None = None,
-                  output_size: int = 7) -> Pyramid:
-    """feat (H, W, C) -> stacked 2x avg-pool pyramid. Pure XLA, fuses with the
-    trunk; cost ~1.33x the base map in memory/bandwidth."""
+                  output_size: int = 7, mode: str = "avg") -> Pyramid:
+    """feat (H, W, C) -> stacked 2x pooled pyramid. Pure XLA, fuses with the
+    trunk; cost ~1.33x the base map in memory/bandwidth.
+
+    mode="avg" (default): 2x area pooling, zero padding — the roi_align
+    family. mode="max": 2x max pooling, large-negative padding — feeds
+    pyramid_roi_pool_max (the windowed reference-exact-max path)."""
     h, w, c = feat.shape
     if num_scales is None:
         num_scales = num_scales_for(h, w, output_size)
     wmax = max(-(-w // 8) * 8, WINDOW_X)
     min_rows = max(WINDOW, 1)
+    pad_val = 0.0 if mode == "avg" else _NEG
     levels, heights, widths = [], [], []
     cur = feat
     for _ in range(num_scales):
@@ -86,12 +98,15 @@ def build_pyramid(feat: jnp.ndarray, spatial_scale: float,
         heights.append(ch)
         widths.append(cw)
         rows = max(ch, min_rows)
-        lv = jnp.zeros((rows, wmax, c), feat.dtype)
+        lv = jnp.full((rows, wmax, c), pad_val, feat.dtype)
         lv = lv.at[:ch, :cw].set(cur)
         levels.append(lv)
-        # 2x avg pool (pad odd dims)
+        # 2x pool (pad odd dims)
         ph, pw = ch + (ch % 2), cw + (cw % 2)
-        nxt = jnp.zeros((ph, pw, c), feat.dtype).at[:ch, :cw].set(cur)
+        nxt = jnp.full((ph, pw, c), pad_val, feat.dtype).at[:ch, :cw].set(cur)
+        if mode == "max":
+            cur = nxt.reshape(ph // 2, 2, pw // 2, 2, c).max(axis=(1, 3))
+            continue
         cnt = jnp.zeros((ph, pw, 1), feat.dtype).at[:ch, :cw].set(1.0)
         pooled = nxt.reshape(ph // 2, 2, pw // 2, 2, c).sum(axis=(1, 3))
         norm = cnt.reshape(ph // 2, 2, pw // 2, 2, 1).sum(axis=(1, 3))
@@ -111,7 +126,7 @@ def build_pyramid(feat: jnp.ndarray, spatial_scale: float,
 
 def build_pyramid_batch(feats: jnp.ndarray, spatial_scale: float,
                         num_scales: int | None = None,
-                        output_size: int = 7):
+                        output_size: int = 7, mode: str = "avg"):
     """feats (B, H, W, C) -> (flat_batch (B*rows, Wmax, C), meta Pyramid).
 
     meta describes ONE image's pyramid (static fields stay Python ints —
@@ -121,9 +136,11 @@ def build_pyramid_batch(feats: jnp.ndarray, spatial_scale: float,
     if num_scales is None:
         num_scales = num_scales_for(h, w, output_size)
     flat_b = jax.vmap(
-        lambda x: build_pyramid(x, spatial_scale, num_scales, output_size).flat
+        lambda x: build_pyramid(x, spatial_scale, num_scales, output_size,
+                                mode).flat
     )(feats)
-    meta = build_pyramid(feats[0], spatial_scale, num_scales, output_size)
+    meta = build_pyramid(feats[0], spatial_scale, num_scales, output_size,
+                         mode)
     meta = Pyramid(flat_b[0], meta.row_offsets, meta.heights, meta.widths,
                    spatial_scale, num_scales)
     return flat_b.reshape(b * flat_b.shape[1], *flat_b.shape[2:]), meta
@@ -185,10 +202,82 @@ def _one_roi(pyr: Pyramid, roi: jnp.ndarray, g: int, s: int, mode: str):
     raise ValueError(f"mode must be avg|max, got {mode!r}")
 
 
+def _one_roi_max(pyr: Pyramid, roi: jnp.ndarray, g: int):
+    """Reference-exact ROIPooling max (inn.ROIPooling / ops.roi.roi_pool_max
+    semantics) through the same 10x16 window machinery as _one_roi: integer
+    floor/ceil bin extents, max over covered cells, empty bins -> 0 —
+    evaluated as two masked max-reductions over the window instead of the
+    bilinear W2 GEMMs (VERDICT r2 item 7: parity evals shouldn't pay the
+    864 ms/batch gather path).
+
+    `pyr` must be a mode="max" pyramid. Exactness contract (pinned in
+    tests/test_roi_pyramid.py): for views whose bins span <= 1 base cell
+    (level 0) the output is BIT-EXACT vs roi_pool_max; larger views apply
+    the same floor/ceil rule at the selected pyramid scale, i.e. bin edges
+    quantize to 2^l base cells — the reference's own over-coverage rule at
+    the pyramid's cell size (each level-l cell is the max of its 2^l x 2^l
+    base cells). docs/PARITY.md records the distinction; roi_impl="direct"
+    remains the bit-exact-at-all-scales oracle."""
+    f32 = jnp.float32
+    b = roi.astype(f32) * pyr.base_scale  # base-level cells
+    bw = jnp.maximum(b[2] - b[0], 1e-6)
+    bh = jnp.maximum(b[3] - b[1], 1e-6)
+    span = jnp.maximum(bw, bh) / g
+    lvl = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(span, 1.0))).astype(jnp.int32),
+        0, pyr.num_scales - 1)
+    cell = jnp.exp2(lvl.astype(f32))
+
+    # the reference formula, applied at level-l granularity
+    x1 = jnp.floor(b[0] / cell)
+    y1 = jnp.floor(b[1] / cell)
+    x2 = jnp.ceil(b[2] / cell)
+    y2 = jnp.ceil(b[3] / cell)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    hl = pyr.heights[lvl].astype(f32)
+    wl = pyr.widths[lvl].astype(f32)
+    bins = jnp.arange(g, dtype=f32)
+    ys = jnp.clip(jnp.floor(y1 + bins * roi_h / g), 0, hl)
+    ye = jnp.clip(jnp.ceil(y1 + (bins + 1) * roi_h / g), 0, hl)
+    xs = jnp.clip(jnp.floor(x1 + bins * roi_w / g), 0, wl)
+    xe = jnp.clip(jnp.ceil(x1 + (bins + 1) * roi_w / g), 0, wl)
+
+    y0 = jnp.clip(y1.astype(jnp.int32), 0,
+                  jnp.maximum(pyr.heights[lvl] - WINDOW, 0))
+    x0 = jnp.clip(x1.astype(jnp.int32), 0,
+                  jnp.maximum(pyr.widths[lvl] - WINDOW_X, 0))
+
+    # window-cell membership masks: (G, WINDOW) / (G, WINDOW_X)
+    wy_cells = (y0 + jnp.arange(WINDOW, dtype=jnp.int32)).astype(f32)
+    wx_cells = (x0 + jnp.arange(WINDOW_X, dtype=jnp.int32)).astype(f32)
+    my = (wy_cells[None, :] >= ys[:, None]) & (wy_cells[None, :] < ye[:, None])
+    mx = (wx_cells[None, :] >= xs[:, None]) & (wx_cells[None, :] < xe[:, None])
+
+    row = pyr.row_offsets[lvl] + y0
+    win = lax.dynamic_slice(
+        pyr.flat, (row, x0, 0),
+        (WINDOW, WINDOW_X, pyr.flat.shape[-1])).astype(f32)
+
+    # two-stage masked max: rows into bins, then cols into bins
+    t = jnp.max(jnp.where(my[:, :, None, None], win[None], _NEG),
+                axis=1)                                   # (G, WX, C)
+    v = jnp.max(jnp.where(mx[None, :, :, None], t[:, None], _NEG),
+                axis=2)                                   # (G, G, C)
+    empty = (ye <= ys)[:, None] | (xe <= xs)[None, :]
+    return jnp.where(empty[:, :, None] | (v <= _NEG / 2), 0.0, v)
+
+
 def pyramid_roi_align(pyr: Pyramid, rois: jnp.ndarray, *,
                       output_size: int = 7, samples_per_bin: int = 2,
                       mode: str = "avg") -> jnp.ndarray:
-    """rois (R, 4) image coords -> (R, G, G, C). vmapped static-window sampler."""
+    """rois (R, 4) image coords -> (R, G, G, C). vmapped static-window sampler.
+
+    mode="avg"|"max": bilinear point samples, mean/max per bin (avg pyramid).
+    mode="exact_max": reference ROIPooling max semantics (max pyramid)."""
+    if mode == "exact_max":
+        return jax.vmap(
+            lambda r: _one_roi_max(pyr, r, output_size))(rois)
     return jax.vmap(
         lambda r: _one_roi(pyr, r, output_size, samples_per_bin, mode)
     )(rois)

@@ -376,3 +376,40 @@ def test_foveal_topology_reference_vs_dense():
     # ...but the 1x view is identical in both topologies
     np.testing.assert_allclose(np.asarray(got_d[:, 0]), np.asarray(got[:, 0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_roi_mode_max_windowed_equals_direct_for_small_rois():
+    """roi_impl='pyramid' under roi_mode='max' routes to the windowed max
+    path (max pyramid + masked window max) — bit-exact vs the direct oracle
+    for views whose bins span <= 1 base cell (VERDICT r2 item 7; larger
+    views quantize bin edges to the pyramid cell, tested at op level in
+    test_roi_pyramid.py)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.models.multipath import build_model
+
+    base = preset("tiny").model
+    # single foveal view: context expansion would push views past the
+    # level-0 span where windowed == direct is exact
+    kw = dict(roi_mode="max", train_roi_impl="direct", dtype="float32",
+              foveal_scales=(1.0,))
+    m_direct = build_model(dataclasses.replace(base, roi_impl="direct", **kw))
+    m_window = build_model(dataclasses.replace(base, roi_impl="pyramid", **kw))
+
+    rng = jax.random.key(2)
+    images = jax.random.uniform(rng, (1, 64, 64, 3))
+    # tinynet c5 stride is 8 -> <= 7*8 = 56px boxes stay at level 0; c3/c4
+    # are finer, so smaller spans there too... keep boxes <= 28px for c3@2
+    rois = jnp.asarray([[[4, 4, 30, 30], [8, 16, 30, 40], [40, 30, 62, 58]]],
+                       jnp.float32)
+    params = m_direct.init(jax.random.key(0), images, rois)
+    s_d, d_d = m_direct.apply(params, images, rois)
+    s_w, d_w = m_window.apply(params, images, rois)
+    np.testing.assert_allclose(np.asarray(s_w), np.asarray(s_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_w), np.asarray(d_d),
+                               rtol=1e-5, atol=1e-5)

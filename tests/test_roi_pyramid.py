@@ -96,3 +96,76 @@ def test_pyramid_structure():
     l1 = np.asarray(pyr.flat[l1_rows:l1_rows + 20, :20])
     want = np.asarray(feat).reshape(20, 2, 20, 2, 4).mean(axis=(1, 3))
     np.testing.assert_allclose(l1, want, atol=1e-6)
+
+
+# --- windowed reference-exact max (VERDICT r2 item 7) -----------------------
+
+
+def _np_maxpool2x(a, times):
+    """numpy 2x max pool applied `times` times, -inf edge padding."""
+    a = np.asarray(a, np.float64)
+    for _ in range(times):
+        h, w, c = a.shape
+        ph, pw = h + (h % 2), w + (w % 2)
+        buf = np.full((ph, pw, c), -np.inf)
+        buf[:h, :w] = a
+        a = buf.reshape(ph // 2, 2, pw // 2, 2, c).max(axis=(1, 3))
+    return a.astype(np.float32)
+
+
+def test_exact_max_level0_bit_exact():
+    """Views whose bins span <= 1 base cell: windowed max == roi_pool_max
+    (the inn.ROIPooling parity oracle), bit-exact."""
+    feat = make_feat()
+    scale = 1 / 16.0
+    pyr = RP.build_pyramid(feat, scale, mode="max")
+    x1 = RNG.uniform(0, 300, 24).astype(np.float32)
+    y1 = RNG.uniform(0, 300, 24).astype(np.float32)
+    w = RNG.uniform(10, 110, 24).astype(np.float32)
+    h = RNG.uniform(10, 110, 24).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    got = RP.pyramid_roi_align(pyr, rois, mode="exact_max")
+    want = R.roi_pool_max(feat, rois, output_size=7, spatial_scale=scale)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_exact_max_coarse_level_is_quantized_reference_rule():
+    """Larger views: the SAME floor/ceil rule applied on the 2^l max-pooled
+    map — equals roi_pool_max run on that map at the scaled spatial_scale."""
+    feat = make_feat(40, 40, 4)
+    scale = 1 / 4.0
+    pyr = RP.build_pyramid(feat, scale, mode="max")
+    # roi ~100px at 1/4 scale -> 25 cells -> span 25/7 ~ 3.6 -> level 2
+    rois = jnp.asarray([[10.0, 14.0, 112.0, 118.0],
+                        [0.0, 0.0, 159.0, 159.0]], jnp.float32)  # lvl 2, 3
+    got = np.asarray(RP.pyramid_roi_align(pyr, rois, mode="exact_max"))
+    for i, lvl in enumerate((2, 3)):
+        lvl_map = _np_maxpool2x(np.asarray(feat), lvl)
+        want = R.roi_pool_max(jnp.asarray(lvl_map), rois[i:i + 1],
+                              output_size=7, spatial_scale=scale / 2 ** lvl)
+        np.testing.assert_allclose(got[i], np.asarray(want)[0], atol=1e-6)
+
+
+def test_exact_max_degenerate_and_padded_rois():
+    """Zero-area padded boxes produce zeros (empty-bin rule), no NaN/inf."""
+    feat = make_feat(16, 16, 4)
+    pyr = RP.build_pyramid(feat, 0.25, mode="max")
+    rois = jnp.asarray([[0, 0, 0, 0], [5, 5, 5, 5]], jnp.float32)
+    out = np.asarray(RP.pyramid_roi_align(pyr, rois, mode="exact_max"))
+    assert np.isfinite(out).all()
+    # a point box still max-pools its single covered cell (roi_w/h >= 1)
+    want = np.asarray(R.roi_pool_max(feat, rois, output_size=7,
+                                     spatial_scale=0.25))
+    np.testing.assert_array_equal(out, want)
+
+
+def test_max_pyramid_structure():
+    feat = make_feat(40, 40, 4)
+    pyr = RP.build_pyramid(feat, 1.0, mode="max")
+    l1_rows = int(pyr.row_offsets[1])
+    l1 = np.asarray(pyr.flat[l1_rows:l1_rows + 20, :20])
+    want = np.asarray(feat).reshape(20, 2, 20, 2, 4).max(axis=(1, 3))
+    np.testing.assert_allclose(l1, want, atol=1e-6)
+    # padding is large-negative, never selected by valid-region maxes
+    # (level 1 is 20 cols wide inside the wmax=40 buffer -> col 39 is pad)
+    assert float(pyr.flat[l1_rows, 39, 0]) < -1e37
