@@ -527,25 +527,153 @@ def _multi_pool(flats, row0s, x0s, wys, wxs, tile, interpret):
                                     tile=tile, interpret=interpret)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+# ---------------------------------------------------------------------------
+# Pallas pool BACKWARD: VMEM-accumulating per-image grad kernel (the r2
+# "next idea"). The XLA backward pays, per level, a full grad-buffer
+# zero-init + windowed scatter RMW (or the placement GEMMs' one-hot
+# matmuls). Here the per-image grad buffer lives in VMEM across the view
+# grid axis: grid (B, V/tile), the output block (1, rows, Wmax, C) maps to
+# image b only, so Pallas keeps it resident while j sweeps the views —
+# zeroed at j==0, accumulated with direct dynamic-slice adds, written back
+# to HBM once per image. Per view the window cotangent is ONE GEMM,
+#     gwin(160, C) = W2(G*G, 160)^T @ gout(G*G, C)
+# the exact transpose of the forward's contraction (same in-kernel W2
+# build). Accumulation is f32 regardless of the pyramid dtype — strictly
+# better numerics than the dtype-follow scatter (the ADVICE r2 bf16
+# accumulation concern) at no HBM cost (the f32 buffer only exists in
+# VMEM; the HBM writeback is once per image).
+# Applies to levels whose PER-IMAGE pyramid fits the VMEM budget (c5 and
+# coarser at bench shapes — where 2/3 of reference-topology views land);
+# wider levels keep the scatter/placement path.
+# ---------------------------------------------------------------------------
+
+_GRAD_VMEM_BUDGET = 7 * 1024 * 1024  # f32 per-image grad block, bytes
+
+
+def _window_grad_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref, exbd_ref,
+                        wy_ref, wx_ref, g_ref, out_ref, *, tile: int, g: int):
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
+    k = WINDOW * WINDOW_X
+    c = out_ref.shape[-1]
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    w2all = _w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref,
+                    wy_ref[0, 0], wx_ref[0, 0])          # (G2P, tile*160)
+    for t in range(tile):
+        v = j * tile + t
+        w2 = w2all[:g * g, t * k:(t + 1) * k]            # (G*G, 160) f32
+        gt = g_ref[0, t].astype(jnp.float32)             # (G*G, C)
+        # contract the bin axis of both operands: (160, C)
+        gwin = jax.lax.dot_general(w2, gt, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        r0 = row0_ref[bi, v]
+        x0 = pl.multiple_of(x0_ref[bi, v], 8)
+        cur = out_ref[0, pl.ds(r0, WINDOW), pl.ds(x0, WINDOW_X), :]
+        out_ref[0, pl.ds(r0, WINDOW), pl.ds(x0, WINDOW_X), :] = (
+            cur + gwin.reshape(WINDOW, WINDOW_X, c))
+
+
+def pallas_window_grad(gout: jnp.ndarray, row0_rel: jnp.ndarray,
+                       x0: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray,
+                       batch: int, rows: int, wmax: int, *,
+                       tile: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """gout (N, G, G, C) f32 cotangent, views IMAGE-GROUPED (N = batch * V);
+    row0_rel/x0 (N,) image-RELATIVE window origins; wy/wx the forward's
+    weight rows. Returns (batch * rows, wmax, C) f32 pyramid gradient."""
+    n, g = wy.shape[:2]
+    c = gout.shape[-1]
+    assert n % batch == 0, (n, batch)
+    v = n // batch
+    v_pad = ((v + tile - 1) // tile) * tile
+
+    def per_img(a):
+        a = a.reshape(batch, v, *a.shape[1:])
+        return jnp.pad(a, ((0, 0), (0, v_pad - v)) +
+                       ((0, 0),) * (a.ndim - 2))
+
+    gb = per_img(gout.astype(jnp.float32).reshape(n, g * g, c))
+    row0b = per_img(row0_rel.astype(jnp.int32))
+    x0b = per_img(x0.astype(jnp.int32))
+    # padded views carry zero weights -> zero gwin -> harmless adds at (0,0)
+    wyb = per_img(wy.astype(jnp.float32))
+    wxb = per_img(wx.astype(jnp.float32))
+
+    ri, rj, eybd, exbd = _expansion_consts(g, tile)
+    g2p, k = _g2p(g), WINDOW * WINDOW_X
+
+    grid = (batch, v_pad // tile)
+    out = pl.pallas_call(
+        partial(_window_grad_kernel, tile=tile, g=g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, x0 in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW, tile * k),
+                             lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW_X, tile * k),
+                             lambda bi, j, *_: (0, 0)),
+                pl.BlockSpec((1, 1, g, tile * WINDOW),
+                             lambda bi, j, *_: (bi, j, 0, 0)),
+                pl.BlockSpec((1, 1, g, tile * WINDOW_X),
+                             lambda bi, j, *_: (bi, j, 0, 0)),
+                pl.BlockSpec((1, tile, g * g, c),
+                             lambda bi, j, *_: (bi, j, 0, 0)),
+            ],
+            # the accumulator: one per-image block, resident across j
+            out_specs=pl.BlockSpec((1, rows, wmax, c),
+                                   lambda bi, j, *_: (bi, 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, rows, wmax, c), jnp.float32),
+        interpret=interpret,
+    )(row0b, x0b, ri, rj, eybd, exbd,
+      _cat_layout(wyb, tile), _cat_layout(wxb, tile), gb)
+    return out.reshape(batch * rows, wmax, c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def multi_window_pool_trainable(flats, row0s, x0s, wys, wxs,
-                                tile=8, interpret=False):
-    """Differentiable level-summed pooling: fused Pallas forward + one
-    windowed scatter-add per level backward (grads flow to `flats` only)."""
+                                tile=8, interpret=False,
+                                rows_list=None, batch=None):
+    """Differentiable level-summed pooling: fused Pallas forward + per-level
+    backward (grads flow to `flats` only). rows_list (tuple of per-level
+    rows-per-image) + batch enable the VMEM-accumulating Pallas backward for
+    levels that fit (_GRAD_VMEM_BUDGET); without them (or for wide levels)
+    the windowed scatter-add / placement-GEMM path runs."""
     return _multi_pool(flats, row0s, x0s, wys, wxs, tile, interpret)
 
 
-def _mwpt_fwd(flats, row0s, x0s, wys, wxs, tile, interpret):
+def _mwpt_fwd(flats, row0s, x0s, wys, wxs, tile, interpret, rows_list, batch):
     out = _multi_pool(flats, row0s, x0s, wys, wxs, tile, interpret)
     stubs = [jnp.broadcast_to(jnp.zeros((), f.dtype), f.shape) for f in flats]
     return out, (stubs, row0s, x0s, wys, wxs)
 
 
-def _mwpt_bwd(tile, interpret, res, g):
+def _mwpt_bwd(tile, interpret, rows_list, batch, res, g):
     stubs, row0s, x0s, wys, wxs = res
     g = g.astype(jnp.float32)
     grads = []
-    for stub, row0, x0, wy, wx in zip(stubs, row0s, x0s, wys, wxs):
+    for li, (stub, row0, x0, wy, wx) in enumerate(
+            zip(stubs, row0s, x0s, wys, wxs)):
+        rows = rows_list[li] if rows_list else 0
+        wmax, c = stub.shape[1], stub.shape[2]
+        if (rows and batch
+                and rows * wmax * c * 4 <= _GRAD_VMEM_BUDGET):
+            # VMEM-accumulating per-image kernel (f32 accumulation);
+            # row0 arrives image-absolute (batched_pyramid_pool_multi)
+            img_off = jnp.repeat(
+                jnp.arange(batch, dtype=jnp.int32) * rows,
+                row0.shape[0] // batch)
+            grads.append(pallas_window_grad(
+                g, row0.astype(jnp.int32) - img_off, x0, wy, wx,
+                batch, rows, wmax, tile=tile,
+                interpret=interpret).astype(stub.dtype))
+            continue
         m = jnp.einsum("ngy,nghc->nyhc", wy, g)       # (N, 10, G, C)
         gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)    # (N, 10, 16, C)
         # accumulate in the pyramid's own dtype: the result is cast to it
@@ -753,8 +881,11 @@ def batched_pyramid_pool_multi(flat_batches, pyr_metas, rois_views_per_level,
         wys.append(wy)
         wxs.append(wx)
     if trainable:
+        rows_list = tuple(meta.flat.shape[0] for meta in pyr_metas)
+        batch = flat_batches[0].shape[0] // rows_list[0]
         return multi_window_pool_trainable(
-            list(flat_batches), row0s, x0s, wys, wxs, tile, interpret)
+            list(flat_batches), row0s, x0s, wys, wxs, tile, interpret,
+            rows_list, batch)
     return pallas_window_pool_multi(
         list(flat_batches), row0s, x0s, wys, wxs, tile=tile,
         interpret=interpret)

@@ -107,3 +107,41 @@ def test_placement_gemms_match_scatter():
             mode=lax.GatherScatterMode.CLIP)
         np.testing.assert_allclose(np.asarray(placed), np.asarray(ref),
                                    atol=1e-4, rtol=1e-5)
+
+
+def test_pallas_grad_kernel_matches_scatter_backward():
+    """The VMEM-accumulating Pallas backward (r3: pallas_window_grad via
+    rows_list/batch on multi_window_pool_trainable) must produce the same
+    pyramid gradients as the scatter/placement path, including per-image
+    grouping, view padding, and overlapping windows (interpret mode)."""
+    b, v = 2, 5  # 5 views/image -> padded to tile=4 multiple internally
+    feat = jnp.asarray(RNG.standard_normal((2, 16, 24, 8)), jnp.float32)
+    flat_b, meta = RP.build_pyramid_batch(feat, 0.5)
+    rows = meta.flat.shape[0]
+    x1 = RNG.uniform(0, 20, b * v).astype(np.float32)
+    y1 = RNG.uniform(0, 14, b * v).astype(np.float32)
+    w = RNG.uniform(4, 26, b * v).astype(np.float32)
+    h = RNG.uniform(4, 16, b * v).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), v)
+
+    cot = jnp.asarray(RNG.standard_normal((b * v, 7, 7, 8)), jnp.float32)
+
+    def loss(f, use_kernel_bwd):
+        kw = dict(trainable=True, tile=4, interpret=True)
+        if use_kernel_bwd:
+            out = RK.batched_pyramid_pool_multi([f], [meta], rois, img_idx,
+                                                **kw)
+        else:
+            # same forward, scatter backward: call the trainable op without
+            # rows_list/batch
+            row0, x0, wy, wx = RK.view_geometry(meta, rois)
+            row0 = row0 + img_idx * rows
+            out = RK.multi_window_pool_trainable([f], [row0], [x0], [wy],
+                                                 [wx], 4, True)
+        return (out.astype(jnp.float32) * cot).sum()
+
+    g_kernel = np.asarray(jax.grad(lambda f: loss(f, True))(flat_b))
+    g_scatter = np.asarray(jax.grad(lambda f: loss(f, False))(flat_b))
+    assert np.abs(g_scatter).sum() > 0
+    np.testing.assert_allclose(g_kernel, g_scatter, atol=1e-4, rtol=1e-4)
