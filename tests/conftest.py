@@ -28,3 +28,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The suite is XLA-CPU-COMPILE-bound on this 1-core box (top durations are
+# all first-jit costs). The persistent compilation cache turns repeat runs'
+# compiles into deserializations — measured 13:33 (uncached) -> 8:59
+# (warm, 2026-08-17); a fresh clone's first run still pays real compiles. Tests
+# that intentionally measure compile behavior are unaffected in semantics
+# (the cache keys on exact HLO + topology).
+os.makedirs(os.path.expanduser("~/.cache/multipathnet_tpu/xla-cpu-tests"),
+            exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/multipathnet_tpu/xla-cpu-tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,126 @@
+"""End-to-end flows on the chip: detect graph, train step, max-mode parity.
+
+Small shapes (256-320 px canvases, ResNet-18/VGG trunks) keep cold compiles
+bounded; the persistent cache makes warm re-runs ~seconds per test."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multipathnet_tpu.core.config import preset
+from multipathnet_tpu.eval.detect import detect_batch
+from multipathnet_tpu.models.multipath import build_model
+
+
+def device_params(model, s):
+    """On-device random param fill (no 2 GB host transfer — bench.py trick)."""
+    shapes = jax.eval_shape(lambda: model.init(
+        jax.random.key(0), jnp.zeros((1, s, s, 3)),
+        jnp.zeros((1, 1, 4))))
+    leaves, td = jax.tree.flatten(shapes)
+    ks = list(jax.random.split(jax.random.key(1), len(leaves)))
+    return jax.tree.unflatten(td, [
+        jax.random.normal(k, l.shape, l.dtype) * 0.02
+        for k, l in zip(ks, leaves)])
+
+
+def detect_inputs(rng, b, p, s):
+    images = rng.integers(0, 255, (b, s, s, 3), dtype=np.uint8)
+    src_hws = np.full((b, 2), float(s), np.float32)
+    x1 = rng.uniform(0, s * 0.6, (b, p)).astype(np.float32)
+    y1 = rng.uniform(0, s * 0.6, (b, p)).astype(np.float32)
+    w = rng.uniform(10, s * 0.3, (b, p)).astype(np.float32)
+    h = rng.uniform(10, s * 0.3, (b, p)).astype(np.float32)
+    proposals = np.stack([x1, y1, x1 + w, y1 + h], -1)
+    return (jnp.asarray(images), jnp.asarray(src_hws),
+            jnp.asarray(proposals), jnp.ones((b, p), jnp.bool_))
+
+
+def test_detect_batch_finite_and_chunk_invariant(rng):
+    """The production detect graph on-chip: finite, and the
+    SequentialSplitBatch analog (roi_chunk) does not change results on the
+    chunked (pyramid) implementation."""
+    b, p, s = 2, 192, 256
+    base = preset("multipath_resnet18_integral")
+    outs = {}
+    for chunk in (64, 192):
+        cfg = base.replace(
+            model=dataclasses.replace(base.model, roi_impl="pyramid"),
+            data=dataclasses.replace(base.data, image_size=(s, s),
+                                     max_proposals=p),
+            eval=dataclasses.replace(base.eval, roi_chunk=chunk))
+        model = build_model(cfg.model)
+        if "params" not in outs:
+            outs["params"] = device_params(model, s)
+        fn = jax.jit(lambda pa, im, hw, pr, pm, _m=model, _c=cfg:
+                     detect_batch(pa, _m, _c, im, hw, pr, pm))
+        outs[chunk] = {k: np.asarray(v) for k, v in
+                       fn(outs["params"], *detect_inputs(
+                           np.random.default_rng(3), b, p, s)).items()}
+    for k in ("boxes", "scores", "classes", "valid"):
+        assert np.isfinite(np.asarray(outs[64][k], np.float32)).all(), k
+        np.testing.assert_allclose(outs[64][k], outs[192][k], atol=1e-5,
+                                   err_msg=f"chunk variance in {k}")
+
+
+def test_windowed_max_equals_direct_on_chip(rng):
+    """r3 windowed exact-max vs the direct oracle, ON the chip, in the
+    level-0 (bit-exact) regime: boxes <= 7 cells at the finest stride-4
+    level (28 px)."""
+    base = preset("multipath_vgg16_reference")
+    kw = dict(foveal_scales=(1.0,), dtype="float32", num_classes=81)
+    img = rng.standard_normal((1, 256, 256, 3)).astype(np.float32)
+    x1 = rng.uniform(0, 180, (48, 1)).astype(np.float32)
+    y1 = rng.uniform(0, 180, (48, 1)).astype(np.float32)
+    rois = np.concatenate(
+        [x1, y1, x1 + rng.uniform(10, 27, (48, 1)).astype(np.float32),
+         y1 + rng.uniform(10, 27, (48, 1)).astype(np.float32)], 1)[None]
+    outs = {}
+    params = None
+    for impl in ("direct", "pyramid"):
+        cfg = base.replace(model=dataclasses.replace(
+            base.model, roi_impl=impl, **kw))
+        m = build_model(cfg.model)
+        if params is None:
+            params = device_params(m, 256)
+        f = jax.jit(lambda pa, im, r, _m=m: _m.apply(pa, im, r))
+        s, d = f(params, jnp.asarray(img), jnp.asarray(rois))
+        outs[impl] = (np.asarray(s), np.asarray(d))
+    np.testing.assert_array_equal(outs["pyramid"][0], outs["direct"][0])
+    np.testing.assert_array_equal(outs["pyramid"][1], outs["direct"][1])
+
+
+def test_train_step_frozen_params_bit_identical(rng):
+    """One compiled train step (Pallas forward + windowed backward) on the
+    chip: loss finite, frozen trunk stages bit-identical, unfrozen moved."""
+    from multipathnet_tpu.train.loop import Trainer
+    from tools.prof_train import make_batch
+
+    cfg = preset("multipath_vgg16_batched")
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, image_size=(256, 256),
+                                 max_proposals=128, rois_per_image=16),
+        train=dataclasses.replace(cfg.train, batch_size=2,
+                                  freeze_backbone_stages=2))
+    tr = Trainer(cfg)
+    state = tr.init_state(0)
+    batch = make_batch(np.random.default_rng(0), B=2, P=128, G=8, size=256)
+    before = jax.tree.map(np.asarray, state.params)
+    state, m = tr._step(state, tr.shard_batch(batch))
+    loss = float(m["loss"])
+    assert np.isfinite(loss)
+    after = jax.tree.map(np.asarray, state.params)
+    bb_b = before["params"]["backbone"]
+    bb_a = after["params"]["backbone"]
+    frozen = [k for k in bb_b if k.startswith(("conv1_", "conv2_"))]
+    moved = [k for k in bb_b if k.startswith(("conv4_", "conv5_"))]
+    assert frozen and moved
+    for k in frozen:
+        np.testing.assert_array_equal(bb_b[k]["kernel"], bb_a[k]["kernel"])
+    assert any(
+        np.abs(bb_b[k]["kernel"].astype(np.float32)
+               - bb_a[k]["kernel"].astype(np.float32)).max() > 0
+        for k in moved)
