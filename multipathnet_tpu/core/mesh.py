@@ -5,12 +5,17 @@ data parallelism is `pjit`/`shard_map` over a named mesh with XLA collectives ov
 ICI, not replicate/scatter/allreduce calls. A "model" axis is reserved so FC heads
 *can* tensor-shard later without train-loop changes (SURVEY.md §2.3 TP row).
 
-TP boundary (explicit): only the foveal fc6/fc7 GEMMs shard over the "model"
-axis — they carry ~85% of head params at VGG scale (4 x 2 x 4096x4096-class
-matrices). The final cls_bbox GEMM (F*fc_dim x ~(K*classes+4*classes)) and
-the conv trunk stay REPLICATED: at VGG-16/COCO scale cls_bbox is ~7 ms of a
-~106 ms batch and sharding it would trade one all-gather per step for a
-minor GEMM split. Revisit if a trunk or head 10x larger ever lands.
+TP boundary (explicit): the foveal fc6/fc7 GEMMs and the final cls_bbox GEMM
+shard over the "model" axis. fc6 is column-parallel, fc7 row-parallel (psum
+output), and cls_bbox column-parallel — the standard Megatron pairing, so
+the fc7 psum feeds a sharded GEMM instead of a replicated one and cls_bbox's
+(F*fc_dim, K*classes+4*classes) kernel splits its output columns with no
+extra collective beyond the slice/reshape gather XLA already inserts for the
+(N, K, C) score view. cls_bbox falls back to replicated when its output dim
+is not divisible by the model axis (it is data-dependent; 810 at COCO shards
+2-way but not 4-way). The conv trunk stays REPLICATED: conv TP at VGG/COCO
+scale would shard ~20 ms of convs that are HBM-bound, not FLOP-bound.
+Revisit if a trunk 10x larger ever lands.
 """
 
 from __future__ import annotations
@@ -62,6 +67,8 @@ class MeshRules:
           fc6_f* kernel  -> P(None, "model")   column-parallel
           fc6_f* bias    -> P("model")
           fc7_f* kernel  -> P("model", None)   row-parallel (psum output)
+          cls_bbox kernel-> P(None, "model")   column-parallel
+          cls_bbox bias  -> P("model")
           everything else replicated
 
         With a model axis of size 1 this degrades to pure replication; the
@@ -74,12 +81,19 @@ class MeshRules:
             names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
             if n_model > 1 and getattr(leaf, "ndim", 0) >= 1:
                 in_fc6 = any(n.startswith("fc6_f") for n in names)
+                # cls_bbox shards only when its output dim divides evenly:
+                # explicit NamedSharding (unlike GSPMD-internal specs) rejects
+                # ragged shards, and the dim (K*classes + 4*classes) is data-
+                # dependent (810 at COCO: even, but not divisible by 4).
+                in_cb = (any(n == "cls_bbox" for n in names)
+                         and leaf.shape[-1] % n_model == 0)
+                in_col = in_fc6 or in_cb
                 in_fc7 = any(n.startswith("fc7_f") for n in names)
                 is_kernel = names[-1] == "kernel"
                 is_bias = names[-1] == "bias"
-                if in_fc6 and is_kernel and leaf.ndim == 2:
+                if in_col and is_kernel and leaf.ndim == 2:
                     return NamedSharding(self.mesh, P(None, MODEL_AXIS))
-                if in_fc6 and is_bias and leaf.ndim == 1:
+                if in_col and is_bias and leaf.ndim == 1:
                     return NamedSharding(self.mesh, P(MODEL_AXIS))
                 if in_fc7 and is_kernel and leaf.ndim == 2:
                     return NamedSharding(self.mesh, P(MODEL_AXIS, None))

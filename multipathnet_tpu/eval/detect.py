@@ -33,13 +33,19 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def detect_batch(params, model: MultiPathNet, cfg: Config,
-                 images_u8: jnp.ndarray,   # (B, H0, W0, 3) uint8, padded raw
-                 src_hws: jnp.ndarray,     # (B, 2) valid (h, w) per image
-                 proposals: jnp.ndarray,   # (B, P, 4) original image coords
-                 prop_mask: jnp.ndarray):  # (B, P) bool
-    """Jittable batched detection. Returns dict of (B, D, ...) arrays in
-    ORIGINAL image coordinates."""
+def score_batch(params, model: MultiPathNet, cfg: Config,
+                images_u8: jnp.ndarray,   # (B, H0, W0, 3) uint8, padded raw
+                src_hws: jnp.ndarray,     # (B, 2) valid (h, w) per image
+                proposals: jnp.ndarray):  # (B, P, 4) original image coords
+    """Jittable proposal scoring: image + proposals -> per-class probabilities
+    and decoded per-class boxes (original coords), BEFORE NMS.
+
+    This is the reference ImageDetect boundary (SURVEY.md §3.2: it returned
+    per-class scores + decoded boxes; testCoco did NMS afterwards). Exposed
+    separately so chunk-invariance can be asserted on the continuous
+    quantities — NMS downstream turns ULP-level score ties into discrete
+    output differences by design.
+    Returns (boxes (B, P, C, 4), probs (B, P, C))."""
     canvas_hw = cfg.data.image_size
     b, p = proposals.shape[:2]
 
@@ -91,6 +97,18 @@ def detect_batch(params, model: MultiPathNet, cfg: Config,
             :, None, None, :],
     )
     boxes = boxes / scales[:, None, None, None]
+    return boxes, probs
+
+
+def detect_batch(params, model: MultiPathNet, cfg: Config,
+                 images_u8: jnp.ndarray,   # (B, H0, W0, 3) uint8, padded raw
+                 src_hws: jnp.ndarray,     # (B, 2) valid (h, w) per image
+                 proposals: jnp.ndarray,   # (B, P, 4) original image coords
+                 prop_mask: jnp.ndarray):  # (B, P) bool
+    """Jittable batched detection. Returns dict of (B, D, ...) arrays in
+    ORIGINAL image coordinates."""
+    boxes, probs = score_batch(params, model, cfg, images_u8, src_hws,
+                               proposals)
 
     # background column dropped; per-class NMS + global top-100 on device
     def one(bx, pr, vm):
