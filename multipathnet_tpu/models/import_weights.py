@@ -106,35 +106,61 @@ def bn_to_flax(state: dict, prefix: str) -> tuple:
     return params, stats
 
 
-def resnet18_params_from_state_dict(state: dict) -> tuple:
-    """torchvision-style resnet18 state dict -> (flax params subtree,
-    flax batch_stats subtree) for models.backbones.resnet.ResNet18."""
+def _resnet_params_from_state_dict(state: dict,
+                                   stage_sizes: tuple) -> tuple:
+    """torchvision-style resnet state dict -> (flax params subtree,
+    flax batch_stats subtree) for models.backbones.resnet.ResNet.
+
+    Handles both block families: BasicBlock (conv1/conv2 -> Conv_0/Conv_1,
+    downsample -> Conv_2) and Bottleneck (conv1/conv2/conv3 -> Conv_0..2,
+    downsample -> Conv_3) — the downsample lands on the next free flax
+    compact-scope index either way."""
     params, stats = {}, {}
     params["stem"] = {"kernel": np.transpose(
         np.asarray(state["conv1.weight"]), (2, 3, 1, 0)).copy()}
     params["stem_bn"], stats["stem_bn"] = bn_to_flax(state, "bn1")
-    for layer in (1, 2, 3):  # strides 4/8/16; layer4 (stride 32) unused
-        for blk in (0, 1):
+    for layer, n_blocks in zip((1, 2, 3), stage_sizes):
+        for blk in range(n_blocks):  # strides 4/8/16; layer4 (/32) unused
             src = f"layer{layer}.{blk}"
             dst = f"stage{layer + 1}_block{blk}"
             p, s = {}, {}
-            p["Conv_0"] = conv_to_flax(np.asarray(state[f"{src}.conv1.weight"]))
-            p["BatchNorm_0"], s["BatchNorm_0"] = bn_to_flax(state, f"{src}.bn1")
-            p["Conv_1"] = conv_to_flax(np.asarray(state[f"{src}.conv2.weight"]))
-            p["BatchNorm_1"], s["BatchNorm_1"] = bn_to_flax(state, f"{src}.bn2")
+            n_convs = 0
+            while f"{src}.conv{n_convs + 1}.weight" in state:
+                p[f"Conv_{n_convs}"] = conv_to_flax(
+                    np.asarray(state[f"{src}.conv{n_convs + 1}.weight"]))
+                p[f"BatchNorm_{n_convs}"], s[f"BatchNorm_{n_convs}"] = \
+                    bn_to_flax(state, f"{src}.bn{n_convs + 1}")
+                n_convs += 1
             if f"{src}.downsample.0.weight" in state:
-                p["Conv_2"] = conv_to_flax(
+                p[f"Conv_{n_convs}"] = conv_to_flax(
                     np.asarray(state[f"{src}.downsample.0.weight"]))
-                p["BatchNorm_2"], s["BatchNorm_2"] = bn_to_flax(
-                    state, f"{src}.downsample.1")
+                p[f"BatchNorm_{n_convs}"], s[f"BatchNorm_{n_convs}"] = \
+                    bn_to_flax(state, f"{src}.downsample.1")
             params[dst] = p
             stats[dst] = s
     return params, stats
 
 
+def resnet18_params_from_state_dict(state: dict) -> tuple:
+    """torchvision-style resnet18 state dict -> flax variables for
+    models.backbones.resnet.ResNet18."""
+    return _resnet_params_from_state_dict(state, (2, 2, 2))
+
+
+def resnet50_params_from_state_dict(state: dict) -> tuple:
+    """torchvision-style resnet50 state dict (bottleneck blocks) -> flax
+    variables for models.backbones.resnet.ResNet50."""
+    return _resnet_params_from_state_dict(state, (3, 4, 6))
+
+
 def load_resnet18_npz(path: str) -> tuple:
     z = np.load(path)
     return resnet18_params_from_state_dict({k: z[k] for k in z.files})
+
+
+def load_resnet50_npz(path: str) -> tuple:
+    z = np.load(path)
+    return resnet50_params_from_state_dict({k: z[k] for k in z.files})
 
 
 def install_backbone_variables(variables: dict, backbone_params: dict,

@@ -206,6 +206,98 @@ def test_resnet18_trunk_parity():
                                    atol=2e-4, rtol=2e-4)
 
 
+def build_torch_resnet50_trunk():
+    """torchvision resnet50 minus layer4/avgpool/fc (bottleneck blocks;
+    torchvision itself is not installed — key layout mirrors it)."""
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, width, stride=1):
+            super().__init__()
+            cout = width * 4
+            self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(width)
+            self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = torch.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return torch.relu(idn + y)
+
+    class Trunk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(
+                Bottleneck(64, 64), Bottleneck(256, 64), Bottleneck(256, 64))
+            self.layer2 = tnn.Sequential(
+                Bottleneck(256, 128, 2), Bottleneck(512, 128),
+                Bottleneck(512, 128), Bottleneck(512, 128))
+            self.layer3 = tnn.Sequential(
+                Bottleneck(512, 256, 2), Bottleneck(1024, 256),
+                Bottleneck(1024, 256), Bottleneck(1024, 256),
+                Bottleneck(1024, 256), Bottleneck(1024, 256))
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            c3 = self.layer1(x)
+            c4 = self.layer2(c3)
+            c5 = self.layer3(c4)
+            return {"c3": c3, "c4": c4, "c5": c5}
+
+    return Trunk()
+
+
+def test_resnet50_trunk_parity():
+    """ResNet-50 import contract (bottleneck blocks: conv1..3 -> Conv_0..2,
+    downsample -> Conv_3): c3/c4/c5 match torch eval-mode forward."""
+    from multipathnet_tpu.models import import_weights as IW
+    from multipathnet_tpu.models.backbones.resnet import ResNet50
+
+    torch.manual_seed(0)
+    tm = build_torch_resnet50_trunk()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    tm.eval()
+
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = IW.resnet50_params_from_state_dict(state)
+
+    model = ResNet50(dtype=jnp.float32)
+    x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(
+        np.float32)
+    variables = model.init(__import__("jax").random.key(0), jnp.asarray(x))
+    variables = IW.install_backbone_variables(
+        {"params": {"backbone": variables["params"]},
+         "batch_stats": {"backbone": variables["batch_stats"]}},
+        params, stats)
+
+    out = model.apply({"params": variables["params"]["backbone"],
+                       "batch_stats": variables["batch_stats"]["backbone"]},
+                      jnp.asarray(x))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for lvl in ("c3", "c4", "c5"):
+        got = np.asarray(out[lvl]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want[lvl].numpy(),
+                                   atol=5e-4, rtol=5e-4)
+
+
 # --- full-model logits parity (VERDICT r2 item 1: the head mapping) ---------
 
 
