@@ -8,9 +8,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multipathnet_tpu.core.config import preset
-from multipathnet_tpu.core.mesh import MODEL_AXIS, make_mesh
+from multipathnet_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
 from multipathnet_tpu.data import synthetic
 from multipathnet_tpu.data.coco import CocoLoader
 from multipathnet_tpu.data.pipeline import DetectionPipeline
@@ -72,6 +73,36 @@ def test_dp_tp_matches_dp(data):
     assert fc7.sharding.spec[0] == MODEL_AXIS  # row-parallel
 
 
+@pytest.mark.slow
+def test_eval_dp_sharding_matches_single_device(data):
+    """The eval engine rides the mesh too: score_batch jitted with the
+    image/proposal batch sharded over a 4-wide data axis (params
+    replicated) reproduces the single-device pre-NMS scores and boxes.
+    The reference evaluated single-GPU (SURVEY.md §3.2 — Tester_FRCNN had
+    no DataParallelTable); DP eval is TPU-side capability on top, and it
+    needs no code path of its own — the same jitted graph partitions."""
+    from multipathnet_tpu.eval.detect import score_batch
+    from multipathnet_tpu.models.multipath import build_model
+
+    cfg, batch = data
+    model = build_model(cfg.model)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, *cfg.data.image_size, 3)),
+                        jnp.zeros((1, 1, 4)))
+    args = (jnp.asarray(batch.images), jnp.asarray(batch.src_hws),
+            jnp.asarray(batch.proposals))
+    f = jax.jit(lambda p, im, hw, pr: score_batch(p, model, cfg, im, hw, pr))
+    boxes_1, probs_1 = jax.tree.map(np.asarray, f(params, *args))
+
+    mesh = make_mesh(n_data=4)
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    args_s = tuple(jax.device_put(a, shard) for a in args)
+    params_r = jax.device_put(params, NamedSharding(mesh, P()))
+    boxes_4, probs_4 = jax.tree.map(np.asarray, f(params_r, *args_s))
+    np.testing.assert_allclose(probs_4, probs_1, atol=1e-5)
+    np.testing.assert_allclose(boxes_4, boxes_1, atol=1e-3)
+
+
 def test_tp_second_step_runs(data):
     cfg, batch = data
     _, trainer, state = _loss_after_step(
@@ -79,6 +110,33 @@ def test_tp_second_step_runs(data):
     state, m = trainer.step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert int(np.asarray(state.step)) == 2
+
+
+@pytest.mark.slow
+def test_tp_cls_bbox_shards_when_divisible(data):
+    """The full Megatron pairing (r3): with the preset's K=6 integral heads
+    the cls_bbox output dim (6*5 + 4*5 = 50) divides the 2-wide model axis,
+    so the final GEMM shards column-parallel after the fc7 psum — and the
+    loss still equals pure DP. With K=1 (dim 25, odd) the rule must fall
+    back to replicated: explicit NamedShardings reject ragged shards."""
+    cfg, batch = data
+    l_dp, _, _ = _loss_after_step(cfg, batch, make_mesh(n_data=4))
+    l_tp, _, state = _loss_after_step(
+        cfg, batch, make_mesh(n_data=2, n_model=2))
+    assert l_dp == pytest.approx(l_tp, rel=1e-4)
+    cb = state.params["params"]["head"]["cls_bbox"]["kernel"]
+    assert cb.sharding.spec[-1] == MODEL_AXIS, (
+        f"cls_bbox not TP-sharded: {cb.sharding.spec}")
+    assert cb.sharding.shard_shape(cb.shape)[1] == cb.shape[1] // 2
+
+    # K=1 fallback: 25 % 2 != 0 -> replicated
+    cfg1 = cfg.replace(model=dataclasses.replace(
+        cfg.model, integral_thresholds=(0.5,)))
+    _, _, state1 = _loss_after_step(cfg1, batch,
+                                    make_mesh(n_data=2, n_model=2))
+    cb1 = state1.params["params"]["head"]["cls_bbox"]["kernel"]
+    assert cb1.sharding.is_fully_replicated, (
+        f"odd cls_bbox dim must replicate: {cb1.sharding.spec}")
 
 
 @pytest.mark.slow
