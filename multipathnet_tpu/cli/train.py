@@ -107,6 +107,14 @@ def main(argv=None) -> None:
     if args.steps:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, total_steps=args.steps))
+    if 0 < cfg.train.total_steps <= cfg.train.warmup_steps:
+        # short runs inside the linear warmup train at LR ~0 and eval at
+        # chance — loud note instead of a silent AP=0 (seen in practice)
+        print(f"WARNING: total_steps={cfg.train.total_steps} <= "
+              f"warmup_steps={cfg.train.warmup_steps}; the LR never leaves "
+              f"warmup (peak {cfg.train.lr * cfg.train.total_steps / max(cfg.train.warmup_steps, 1):.2e} "
+              f"of lr={cfg.train.lr}). For short runs pass "
+              f"--set train.warmup_steps=0 (or a small value).")
 
     import jax
 

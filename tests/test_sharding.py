@@ -103,6 +103,38 @@ def test_eval_dp_sharding_matches_single_device(data):
     np.testing.assert_allclose(boxes_4, boxes_1, atol=1e-3)
 
 
+@pytest.mark.slow
+def test_eval_proposal_axis_sharding_matches(data):
+    """SURVEY.md §2.3 SP row: the structural analog of sequence parallelism
+    here is the proposal axis (<=1000 ROIs/image). For single-image eval the
+    batch axis can't fill a mesh, so shard the PROPOSAL axis instead: the
+    per-ROI pool+head compute is row-independent, so GSPMD partitions it
+    across devices (image replicated, trunk computed once) with no code
+    path of its own. Scores/boxes must match the unsharded graph."""
+    from multipathnet_tpu.eval.detect import score_batch
+    from multipathnet_tpu.models.multipath import build_model
+
+    cfg, batch = data
+    model = build_model(cfg.model)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, *cfg.data.image_size, 3)),
+                        jnp.zeros((1, 1, 4)))
+    im = jnp.asarray(batch.images)[:1]
+    hw = jnp.asarray(batch.src_hws)[:1]
+    pr = jnp.asarray(batch.proposals)[:1]
+    f = jax.jit(lambda p, a, b, c: score_batch(p, model, cfg, a, b, c))
+    boxes_1, probs_1 = jax.tree.map(np.asarray, f(params, im, hw, pr))
+
+    mesh = make_mesh(n_data=4)
+    rep = NamedSharding(mesh, P())
+    pr_s = jax.device_put(pr, NamedSharding(mesh, P(None, DATA_AXIS)))
+    boxes_s, probs_s = jax.tree.map(np.asarray, f(
+        jax.device_put(params, rep), jax.device_put(im, rep),
+        jax.device_put(hw, rep), pr_s))
+    np.testing.assert_allclose(probs_s, probs_1, atol=1e-5)
+    np.testing.assert_allclose(boxes_s, boxes_1, atol=1e-3)
+
+
 def test_tp_second_step_runs(data):
     cfg, batch = data
     _, trainer, state = _loss_after_step(
