@@ -131,9 +131,15 @@ def make_train_step(model: MultiPathNet, cfg: Config, tx):
         )
 
         # --- forward/backward ------------------------------------------------
-        def loss_fn(params):
+        # differentiate w.r.t. the "params" collection ONLY: auxiliary
+        # collections (batch_stats — frozen BN running mean/var) are inputs,
+        # not weights; an unsplit grad let SGD+weight-decay silently walk
+        # the running stats on BN trunks (pinned by
+        # test_bn_running_stats_never_train)
+        def loss_fn(trainable):
             scores, deltas = model.apply(
-                params, canvases, sample.rois, train=True,
+                {**state.params, "params": trainable},
+                canvases, sample.rois, train=True,
                 rngs={"dropout": k_drop})
             return detection_loss(
                 scores, deltas, sample,
@@ -143,8 +149,11 @@ def make_train_step(model: MultiPathNet, cfg: Config, tx):
                 integral_agg=m.integral_loss_agg,
             )
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (_, metrics), grads_tr = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["params"])
+        grads = {k: (grads_tr if k == "params"
+                     else jax.tree.map(jnp.zeros_like, v))
+                 for k, v in state.params.items()}
         fmask = None
         if cfg.train.freeze_backbone_stages > 0:
             fmask = _freeze_mask(state.params, cfg.train.freeze_backbone_stages,

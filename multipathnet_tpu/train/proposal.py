@@ -85,16 +85,23 @@ def make_proposal_train_step(model: SharpMaskNet, cfg: Config, tx):
             batch.images, d.image_size, batch.src_hws)
         gt_boxes = batch.gt_boxes * scales[:, None, None]
 
-        def loss_fn(params):
+        # params collection only — batch_stats (frozen BN running stats on
+        # ResNet trunks, e.g. the config-5 resnet50 preset) are inputs, not
+        # weights (see train/loop.py, test_bn_running_stats_never_train)
+        def loss_fn(trainable):
             anchors, scores, deltas, mask_logits = model.apply(
-                params, canvases, gt_boxes, train=True,
+                {**state.params, "params": trainable},
+                canvases, gt_boxes, train=True,
                 rngs={"dropout": k_drop})
             return sharpmask_loss(
                 anchors, scores, deltas, mask_logits, gt_boxes,
                 batch.gt_mask, batch.gt_masks)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (_, metrics), grads_tr = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params["params"])
+        grads = {k: (grads_tr if k == "params"
+                     else jax.tree.map(jnp.zeros_like, v))
+                 for k, v in state.params.items()}
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -23,12 +23,25 @@ def make_lr_schedule(cfg: TrainConfig):
     return optax.join_schedules([warmup, decay], [cfg.warmup_steps])
 
 
+def _trainable_mask(variables):
+    """True only for the top-level "params" collection: auxiliary flax
+    collections (batch_stats — BN running mean/var) must never be
+    weight-decayed. Their gradients are already structurally zero (the
+    train steps differentiate w.r.t. the params collection only), so this
+    mask is what keeps add_decayed_weights from walking frozen BN stats."""
+    import jax
+
+    return {k: jax.tree.map(lambda _: k == "params", v)
+            for k, v in variables.items()}
+
+
 def make_optimizer(cfg: TrainConfig):
     lr = make_lr_schedule(cfg)
     chain = []
     if cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     if cfg.weight_decay > 0:
-        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        chain.append(optax.add_decayed_weights(cfg.weight_decay,
+                                               mask=_trainable_mask))
     chain.append(optax.sgd(lr, momentum=cfg.momentum))
     return optax.chain(*chain), lr

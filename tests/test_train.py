@@ -228,6 +228,41 @@ def test_resnet_train_step_runs(tmp_path):
     assert changed, "unfrozen stage3 did not update"
 
 
+def test_bn_running_stats_never_train(tmp_path):
+    """BN running mean/var live in the batch_stats collection and are NOT
+    trainable (resnet.py docstring: frozen pretrained stats, affine-only
+    fine-tuning — the reference's BN handling, SURVEY.md §2.1 "Model
+    utils"). A train step with freeze_backbone_stages=0 and weight decay
+    ON must leave them bit-identical: they are neither gradient-updated
+    nor weight-decayed. (r3 bug: the unsplit value_and_grad over the full
+    variables dict let SGD+decay silently walk the running stats.)"""
+    import dataclasses
+
+    cfg = preset("tiny")
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, backbone="resnet18"),
+        train=dataclasses.replace(cfg.train, freeze_backbone_stages=0))
+    assert cfg.train.weight_decay > 0  # the decay path must be exercised
+    fx = synthetic.generate(str(tmp_path), num_images=4, image_size=64,
+                            num_classes=4, proposals_per_image=16, seed=7)
+    loader = CocoLoader(fx["annotations"], fx["images"])
+    props = ProposalStore.load(fx["proposals"])
+    trainer = Trainer(cfg, mesh=make_mesh(n_data=2))
+    pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
+    state = trainer.init_state()
+    assert "batch_stats" in state.params
+    s0 = jax.tree.map(np.asarray, state.params["batch_stats"])
+    batch = next(pipe.epoch(0))
+    state, m = trainer.step(state, batch)
+    state, m = trainer.step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    s2 = jax.tree.map(np.asarray, state.params["batch_stats"])
+    jax.tree.map(np.testing.assert_array_equal, s0, s2)
+    # ...while trainable affine BN params DID move
+    g0 = jax.tree.map(np.asarray, state.params)["params"]["backbone"]
+    assert np.any(g0["stem_bn"]["scale"] != 1.0)
+
+
 def test_integral_loss_agg():
     """Pin both aggregation modes of the MultiPath §3.3 integral loss:
     "sum" = paper-literal sum of the K per-head cross-entropies
