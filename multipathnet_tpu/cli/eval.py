@@ -49,7 +49,22 @@ def main(argv=None) -> None:
         state = restored
         print(f"restored step {int(np.asarray(state.step))}")
 
-    tester = Tester(trainer.model, state.params, cfg, loader, props)
+    # DP eval over every available chip (largest device count dividing the
+    # eval batch; single-device hosts degrade to a plain jit)
+    import jax
+
+    from multipathnet_tpu.core.mesh import make_mesh
+
+    n = len(jax.devices())
+    bs = max(cfg.train.batch_size, 1)
+    while bs % n:
+        n -= 1
+    mesh = make_mesh(n_data=n) if n > 1 else None
+    if mesh is not None:
+        print(f"eval mesh: {n}-wide data parallel")
+
+    tester = Tester(trainer.model, state.params, cfg, loader, props,
+                    mesh=mesh)
     metrics = tester.test(max_images=args.max_images or None, verbose=not args.json)
     if args.json:
         print(json.dumps({k: round(v, 5) for k, v in metrics.items()}))

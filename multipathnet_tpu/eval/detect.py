@@ -129,17 +129,45 @@ class Detector:
     """User-facing wrapper: holds the jitted graph; feeds numpy, returns numpy.
 
     The ImageDetect analog — construct once, call per image/batch.
+
+    `mesh`: optional `jax.sharding.Mesh`. When given, the batch axis is
+    sharded over the mesh's "data" axis and params are replicated — DP
+    evaluation over all chips from the same jitted graph (the reference's
+    Tester_FRCNN was single-GPU; here GSPMD partitions the batch with no
+    dedicated code path — equality pinned by
+    test_eval_dp_sharding_matches_single_device). The batch size must be a
+    multiple of the data-axis width.
     """
 
-    def __init__(self, model: MultiPathNet, params, cfg: Config):
+    def __init__(self, model: MultiPathNet, params, cfg: Config, mesh=None):
         self.model, self.params, self.cfg = model, params, cfg
-        self._fn = jax.jit(partial(detect_batch, model=model, cfg=cfg))
+        fn = lambda p, im, hw, pr, pm: detect_batch(p, model, cfg,
+                                                    im, hw, pr, pm)
+        if mesh is None:
+            self._fn = jax.jit(fn)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from multipathnet_tpu.core.mesh import DATA_AXIS
+
+            repl = NamedSharding(mesh, P())
+            batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self._n_data = mesh.shape[DATA_AXIS]
+            self.params = jax.device_put(params, repl)
+            self._fn = jax.jit(
+                fn, in_shardings=(repl, batch_sh, batch_sh, batch_sh,
+                                  batch_sh),
+                out_shardings=repl)
+        self.mesh = mesh
 
     def __call__(self, images_u8, src_hws, proposals, prop_mask):
         import numpy as np
 
-        out = self._fn(self.params, images_u8=jnp.asarray(images_u8),
-                       src_hws=jnp.asarray(src_hws),
-                       proposals=jnp.asarray(proposals),
-                       prop_mask=jnp.asarray(prop_mask))
+        if self.mesh is not None:
+            b = np.shape(images_u8)[0]
+            assert b % self._n_data == 0, (
+                f"batch {b} not divisible by data axis {self._n_data}")
+        out = self._fn(self.params, jnp.asarray(images_u8),
+                       jnp.asarray(src_hws), jnp.asarray(proposals),
+                       jnp.asarray(prop_mask))
         return {k: np.asarray(v) for k, v in out.items()}

@@ -96,11 +96,12 @@ class Tester:
     __test__ = False  # not a pytest class
 
     def __init__(self, model: MultiPathNet, params, cfg: Config, loader,
-                 proposals: ProposalStore, batch_size: int = None):
+                 proposals: ProposalStore, batch_size: int = None,
+                 mesh=None):
         self.cfg = cfg
         self.loader = loader
         self.proposals = proposals
-        self.detector = Detector(model, params, cfg)
+        self.detector = Detector(model, params, cfg, mesh=mesh)
         self.pipeline = DetectionPipeline(
             loader, proposals, cfg.data,
             batch_size=batch_size or max(cfg.train.batch_size, 1),

@@ -86,6 +86,20 @@ def test_tester_runs_and_scores(setup):
     assert -1.0 <= metrics["AP"] <= 1.0  # random weights: likely ~0
 
 
+def test_tester_dp_mesh_matches_single_device(setup):
+    """First-class DP eval (r3): Tester(mesh=) shards each eval batch over
+    the mesh's data axis and must reproduce the single-device metrics —
+    the split loop is unchanged, GSPMD partitions the detect graph."""
+    from multipathnet_tpu.core.mesh import make_mesh
+
+    cfg, model, params, loader, props = setup
+    m1 = Tester(model, params, cfg, loader, props, batch_size=2).test()
+    m2 = Tester(model, params, cfg, loader, props, batch_size=2,
+                mesh=make_mesh(n_data=2)).test()
+    for k in ("AP", "AP50", "AP75"):
+        assert m1[k] == pytest.approx(m2[k], abs=1e-6), k
+
+
 def test_groundtruth_conversion(setup):
     _, _, _, loader, _ = setup
     gts = groundtruth_to_coco(loader)
