@@ -51,16 +51,13 @@ def main(argv=None) -> None:
 
     # DP eval over every available chip (largest device count dividing the
     # eval batch; single-device hosts degrade to a plain jit)
-    import jax
+    from multipathnet_tpu.core.mesh import DATA_AXIS, largest_data_mesh
 
-    from multipathnet_tpu.core.mesh import make_mesh
-
-    n = len(jax.devices())
-    bs = max(cfg.train.batch_size, 1)
-    while bs % n:
-        n -= 1
-    mesh = make_mesh(n_data=n) if n > 1 else None
-    if mesh is not None:
+    mesh = largest_data_mesh(max(cfg.train.batch_size, 1))
+    n = mesh.shape[DATA_AXIS]
+    if n == 1:
+        mesh = None
+    else:
         print(f"eval mesh: {n}-wide data parallel")
 
     tester = Tester(trainer.model, state.params, cfg, loader, props,

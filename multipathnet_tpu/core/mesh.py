@@ -43,6 +43,16 @@ def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def largest_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """Widest pure-data mesh whose width divides `batch_size` — the shared
+    auto-mesh rule of Trainer and cli/eval (one copy, can't drift)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while batch_size % n:
+        n -= 1
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 @dataclass(frozen=True)
 class MeshRules:
     """Central sharding rules: one place mapping logical tensor roles to specs."""

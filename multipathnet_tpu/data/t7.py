@@ -17,8 +17,12 @@ docs) is a stream of typed records, little-endian:
     torch   -> int32 heap index, then a version string record ("V <n>"; a
                bare class name in pre-versioning files), then the class name
                string record (when versioned), then class-specific payload:
-        torch.*Tensor  : long ndim, ndim longs sizes, ndim longs strides,
+        torch.*Tensor  : int32 ndim, ndim longs sizes, ndim longs strides,
                          long storageOffset (1-based), storage record
+                         (nDimension goes through THFile writeInt — 4
+                         bytes — while sizes/strides/offset are longs;
+                         torchfile's read_int/read_long_array split
+                         mirrors this)
         torch.*Storage : long size, size x element bytes
         anything else  : one record (a table) holding the object's __dict__
     function -> int32 heap index, int32 dump size + bytes, upvalues table
@@ -166,8 +170,10 @@ class _Reader:
         return out
 
     def _read_function(self, tag):
+        # all three function tags memoize identically (torch File.lua
+        # writes only tag+index on re-reference, legacy tag 7 included)
         idx = self.read_int()
-        if tag != TYPE_LEGACY_RECUR_FUNCTION and idx in self.memo:
+        if idx in self.memo:
             return self.memo[idx]
         size = self.read_int()
         fn = T7Function(dump=self.read_bytes(size))
@@ -201,7 +207,7 @@ class _Reader:
         return obj
 
     def _read_tensor(self, idx, name):
-        ndim = self.read_long()
+        ndim = self.read_int()  # int32 (THFile writeInt), NOT a long
         sizes = [self.read_long() for _ in range(ndim)]
         strides = [self.read_long() for _ in range(ndim)]
         offset = self.read_long() - 1  # torch storageOffset is 1-based

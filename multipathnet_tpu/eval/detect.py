@@ -131,11 +131,15 @@ class Detector:
     The ImageDetect analog — construct once, call per image/batch.
 
     `mesh`: optional `jax.sharding.Mesh`. When given, the batch axis is
-    sharded over the mesh's "data" axis and params are replicated — DP
-    evaluation over all chips from the same jitted graph (the reference's
-    Tester_FRCNN was single-GPU; here GSPMD partitions the batch with no
-    dedicated code path — equality pinned by
-    test_eval_dp_sharding_matches_single_device). The batch size must be a
+    split over the mesh's "data" axis via `shard_map` and params are
+    replicated — DP evaluation over all chips (the reference's
+    Tester_FRCNN was single-GPU). shard_map (not GSPMD auto-partitioning)
+    on purpose: each device runs the WHOLE detect graph on its local batch
+    shard, so the Pallas ROI kernels — opaque custom calls with no SPMD
+    partitioning rule — execute per-shard instead of forcing a replicated
+    fallback. Per-image independence makes the split exact (equality
+    pinned by test_eval_dp_sharding_matches_single_device /
+    test_tester_dp_mesh_matches_single_device). The batch size must be a
     multiple of the data-axis width.
     """
 
@@ -143,6 +147,7 @@ class Detector:
         self.model, self.params, self.cfg = model, params, cfg
         fn = lambda p, im, hw, pr, pm: detect_batch(p, model, cfg,
                                                     im, hw, pr, pm)
+        self.batch_sharding = None
         if mesh is None:
             self._fn = jax.jit(fn)
         else:
@@ -151,13 +156,12 @@ class Detector:
             from multipathnet_tpu.core.mesh import DATA_AXIS
 
             repl = NamedSharding(mesh, P())
-            batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+            self.batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
             self._n_data = mesh.shape[DATA_AXIS]
             self.params = jax.device_put(params, repl)
-            self._fn = jax.jit(
-                fn, in_shardings=(repl, batch_sh, batch_sh, batch_sh,
-                                  batch_sh),
-                out_shardings=repl)
+            b = P(DATA_AXIS)
+            self._fn = jax.jit(jax.shard_map(
+                fn, mesh=mesh, in_specs=(P(), b, b, b, b), out_specs=b))
         self.mesh = mesh
 
     def __call__(self, images_u8, src_hws, proposals, prop_mask):

@@ -132,7 +132,12 @@ class Tester:
                 sliced, ids, self.loader.label_to_cat, rles_per_image=rles)
 
         def put(ib):
-            return ib[0], jax.device_put(ib[1])
+            # with a DP mesh, land the host transfer already batch-sharded:
+            # a bare device_put would stage through the default device and
+            # pay a second chip->chips redistribution inside the jit
+            sh = self.detector.batch_sharding
+            return ib[0], (jax.device_put(ib[1], sh) if sh is not None
+                           else jax.device_put(ib[1]))
 
         results = []
         done = 0

@@ -28,7 +28,8 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multipathnet_tpu.core.config import Config
-from multipathnet_tpu.core.mesh import DATA_AXIS, MeshRules, make_mesh
+from multipathnet_tpu.core.mesh import (DATA_AXIS, MeshRules,
+                                        largest_data_mesh)
 from multipathnet_tpu.data import sampler as sampler_lib
 from multipathnet_tpu.data import transforms
 from multipathnet_tpu.models.multipath import MultiPathNet, build_model
@@ -189,10 +190,7 @@ class Trainer:
         self.tx, self.lr_schedule = make_optimizer(cfg.train)
         if mesh is None:
             # largest device count that divides the global batch
-            n = len(jax.devices())
-            while cfg.train.batch_size % n:
-                n -= 1
-            mesh = make_mesh(n_data=n)
+            mesh = largest_data_mesh(cfg.train.batch_size)
         self.mesh = mesh
         # the mesh may live on CPU devices while the default backend is TPU
         # (dryrun_multichip); Pallas kernels can't compile there — pin the

@@ -25,7 +25,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multipathnet_tpu.core.config import Config
-from multipathnet_tpu.core.mesh import DATA_AXIS, make_mesh
+from multipathnet_tpu.core.mesh import DATA_AXIS, largest_data_mesh
 from multipathnet_tpu.data import transforms
 from multipathnet_tpu.models.sharpmask import SharpMaskNet
 from multipathnet_tpu.ops import boxes as box_ops
@@ -127,10 +127,7 @@ class ProposalTrainer:
                                   neck_level=neck_level)
         self.tx, self.lr_schedule = make_optimizer(cfg.train)
         if mesh is None:
-            n = len(jax.devices())
-            while cfg.train.batch_size % n:
-                n -= 1
-            mesh = make_mesh(n_data=n)
+            mesh = largest_data_mesh(cfg.train.batch_size)
         self.mesh = mesh
         self._repl = NamedSharding(self.mesh, P())
         self._batch_sh = NamedSharding(self.mesh, P(DATA_AXIS))

@@ -7,8 +7,9 @@ JAX's persistent cache keys on (HLO, compile options, backend version), so
 warm processes deserialize the executable instead of re-invoking the (remote,
 relay-staged) compiler. Enabled by every entry point that compiles real
 graphs (bench.py, cli/train.py, cli/eval.py, cli/demo.py,
-cli/export_proposals.py); tests stay uncached (tiny CPU graphs, and the
-suite intentionally exercises fresh compilation).
+cli/export_proposals.py). The CPU test suite keeps its own SEPARATE cache
+(tests/conftest.py, ~/.cache/multipathnet_tpu/xla-cpu-tests; 13:33 →
+8:59 warm) so test executables never mix with the TPU entry-point cache.
 """
 
 from __future__ import annotations

@@ -62,8 +62,12 @@ def w_storage(idx, name, arr):
 
 
 def w_tensor(idx, name, sizes, strides, offset1, storage_bytes):
+    # nDimension is an int32 (THFile writeInt); sizes/strides/offset are
+    # longs — r3 code-review fix: an earlier w_long(ndim) here mirrored the
+    # same bug in the reader, so the suite was self-consistent but both
+    # diverged from real torch.save output
     return (w_int(t7.TYPE_TORCH) + w_int(idx) + w_rawstr("V 1")
-            + w_rawstr(name) + w_long(len(sizes))
+            + w_rawstr(name) + w_int(len(sizes))
             + b"".join(w_long(s) for s in sizes)
             + b"".join(w_long(s) for s in strides)
             + w_long(offset1) + storage_bytes)
@@ -172,7 +176,7 @@ def test_pre_versioning_classname():
     st = (w_int(t7.TYPE_TORCH) + w_int(2) + w_rawstr("torch.FloatStorage")
           + w_long(2) + vals.tobytes())
     data = (w_int(t7.TYPE_TORCH) + w_int(1) + w_rawstr("torch.FloatTensor")
-            + w_long(1) + w_long(2) + w_long(1) + w_long(1) + st)
+            + w_int(1) + w_long(2) + w_long(1) + w_long(1) + st)
     np.testing.assert_array_equal(t7.loads(data), vals)
 
 
@@ -184,6 +188,40 @@ def test_function_record_is_inert():
     assert isinstance(out["f"], t7.T7Function)
     assert out["f"].dump == b"\x1bLua"
     assert out["x"] == 2
+
+
+def test_tensor_record_byte_layout_is_torchfile_exact():
+    """Pin the EXACT byte layout of a 2x3 FloatTensor record against the
+    field-size arithmetic of the real format (torchfile read_int for ndim,
+    read_long_array for sizes/strides): any drift in the writer helper or
+    the reader's field widths breaks the length equation, so a reader bug
+    can no longer cancel a writer bug (r3 code-review finding)."""
+    vals = np.arange(6, dtype=np.float32)
+    st = w_storage(2, "torch.FloatStorage", vals)
+    # storage record: tag(4)+idx(4)+"V 1"(4+3)+name(4+len)+long size(8)+data
+    assert len(st) == 4 + 4 + 7 + (4 + len("torch.FloatStorage")) + 8 \
+        + vals.nbytes
+    rec = w_tensor(1, "torch.FloatTensor", [2, 3], [3, 1], 1, st)
+    header = 4 + 4 + 7 + (4 + len("torch.FloatTensor"))
+    # ndim int32(4) + 2 sizes(16) + 2 strides(16) + offset long(8)
+    assert len(rec) == header + 4 + 16 + 16 + 8 + len(st)
+    np.testing.assert_array_equal(t7.loads(rec), vals.reshape(2, 3))
+
+
+def test_legacy_recur_function_memoizes():
+    """Tag-7 (legacy recur function) re-references must resolve through the
+    heap memo like tags 6/8 — consuming a fresh body desyncs the stream
+    (r3 code-review finding)."""
+    fn = (w_int(t7.TYPE_LEGACY_RECUR_FUNCTION) + w_int(1) + w_int(4)
+          + b"\x1bLua" + w_nil())
+    data = w_table(2, [
+        (w_str("f"), fn),
+        (w_str("g"), w_ref(1, t7.TYPE_LEGACY_RECUR_FUNCTION)),
+        (w_str("x"), w_num(5)),
+    ])
+    out = t7.loads(data)
+    assert out["f"] is out["g"]
+    assert out["x"] == 5  # the stream stayed in sync after the re-ref
 
 
 def _linear_bytes(idx, w_idx, b_idx, wvals, bvals, in_dim, out_dim):
