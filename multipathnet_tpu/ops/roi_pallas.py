@@ -322,6 +322,50 @@ def _place_windows(row0, x0, gwin, shape, dtype, f32_dot=False):
     return out.astype(dtype)
 
 
+# Per-image placement guard: the rows-one-hot einsum costs
+# 2 * ht * (rows * width) * C FLOPs PER VIEW — linear in the per-image
+# pyramid AREA (measured ~2.1 us/view at c4's 12.8k cells, ~8.6 us/view at
+# c3's 51.2k, train shapes). The RMW streaming kernel
+# (pallas_window_rmw_grad) is ~6 us/view regardless of area, so the
+# placement wins only below ~24k cells; wider levels route to the RMW
+# stream (c3: placement 6.0 / scatter 6.3 / RMW 3.0 ms, docs/PERF.md r3).
+_PLACE_PER_IMAGE_MAX_CELLS = 24 * 1024
+
+
+def _place_windows_per_image(row0_rel, x0, gwin, batch, rows, width, dtype,
+                             f32_dot=False):
+    """Per-image dense placement: sum each image's windows into its OWN
+    (rows, width, C) block — the batched form of _place_windows whose
+    row-one-hot contracts against image-local rows instead of the whole
+    (batch * rows) flat buffer (8x fewer MXU FLOPs at batch 8).
+
+    gwin (N, ht, wd, C) with N = batch * views_per_image, IMAGE-MAJOR;
+    row0_rel/x0 (N,) image-relative window origins. Returns the flat
+    (batch * rows, width, C) gradient buffer.
+    """
+    n, ht, wd, c = gwin.shape
+    assert n % batch == 0, (n, batch)
+    v = n // batch
+    row0_rel = jnp.clip(row0_rel.astype(jnp.int32), 0, rows - ht)
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, width - wd)
+    cdt = jnp.float32 if f32_dot else dtype
+    xs = x0[:, None] + jnp.arange(wd, dtype=jnp.int32)[None]
+    cols = (xs[:, :, None] == jnp.arange(width, dtype=jnp.int32)[None, None])
+    # gx in cdt (bf16 in production): a per-view spread over x, NOT an
+    # accumulation — rounding here matches what the scatter path's
+    # dtype-follow updates already do; cross-view accumulation happens in
+    # the f32-accumulating rows einsum below.
+    gx = jnp.einsum("njx,nrjc->nrxc", cols.astype(cdt), gwin.astype(cdt),
+                    preferred_element_type=jnp.float32).astype(cdt)
+    ridx = (row0_rel[:, None]
+            + jnp.arange(ht, dtype=jnp.int32)[None]).reshape(batch, v * ht)
+    oh = (ridx[:, :, None] == jnp.arange(rows, dtype=jnp.int32)[None, None])
+    out = jnp.einsum("bkr,bkwc->brwc", oh.astype(cdt),
+                     gx.reshape(batch, v * ht, width, c),
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype).reshape(batch * rows, width, c)
+
+
 def _accumulate_windows(row0, x0, gwin, shape, dtype, f32_dot=False):
     """Route between the placement GEMMs (narrow levels) and scatter-add.
 
@@ -636,6 +680,113 @@ def pallas_window_grad(gout: jnp.ndarray, row0_rel: jnp.ndarray,
     return out.reshape(batch * rows, wmax, c)
 
 
+def _window_rmw_grad_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
+                            exbd_ref, wy_ref, wx_ref, g_ref, acc_ref,
+                            out_ref, win, sem_in, sem_out, *,
+                            tile: int, g: int):
+    """Sequential per-view HBM read-modify-write: for each view, DMA its
+    10x16 window of the (zero-initialized, input-output-aliased) grad buffer
+    into VMEM, add the W2^T-GEMM window cotangent, DMA it back. The copy-out
+    wait before the next view's copy-in serializes overlapping windows —
+    grid steps execute in order on the core, so the accumulation is exact
+    (in the buffer's dtype, like the scatter path it replaces)."""
+    del acc_ref  # aliased storage: initial contents only
+    i = pl.program_id(0)
+    k = WINDOW * WINDOW_X
+    c = g_ref.shape[-1]
+    w2all = _w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref,
+                    wy_ref[0], wx_ref[0])                # (G2P, tile*160)
+    for t in range(tile):
+        v = i * tile + t
+        r0 = row0_ref[v]
+        x0 = pl.multiple_of(x0_ref[v], 8)
+        cin = pltpu.make_async_copy(
+            out_ref.at[pl.ds(r0, WINDOW), pl.ds(x0, WINDOW_X), :],
+            win, sem_in)
+        cin.start()
+        # overlap the window GEMM with the copy-in
+        w2 = w2all[:g * g, t * k:(t + 1) * k]            # (G*G, 160) f32
+        gt = g_ref[t].astype(jnp.float32)                # (G*G, C)
+        gwin = jax.lax.dot_general(w2, gt, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        cin.wait()
+        win[...] = (win[...].astype(jnp.float32)
+                    + gwin.reshape(WINDOW, WINDOW_X, c)).astype(win.dtype)
+        cout = pltpu.make_async_copy(
+            win, out_ref.at[pl.ds(r0, WINDOW), pl.ds(x0, WINDOW_X), :],
+            sem_out)
+        cout.start()
+        cout.wait()
+
+
+def pallas_window_rmw_grad(gout: jnp.ndarray, row0: jnp.ndarray,
+                           x0: jnp.ndarray, wy: jnp.ndarray,
+                           wx: jnp.ndarray, shape, dtype, *,
+                           tile: int = 8,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Windowed scatter-add as a Pallas RMW stream — for levels too WIDE for
+    the VMEM-resident backward (pallas_window_grad) where both XLA
+    alternatives are slow for structural reasons: lax.scatter_add serializes
+    ~12 us/window on TPU, and the placement GEMMs' one-hot rows matrix grows
+    with the pyramid area (docs/PERF.md r3 c3 rows). Here the traffic is the
+    floor — zero-init + 2x160KB per view — and the serialization is only
+    the DMA round-trip latency (~3 us/view at train shapes).
+
+    gout (N, G, G, C) cotangent; row0/x0 (N,) ABSOLUTE window origins into
+    the stacked (shape[0], shape[1], C) flat buffer; returns that buffer.
+    Accumulation dtype = buffer dtype (scatter-path numerics)."""
+    n, g = wy.shape[:2]
+    c = gout.shape[-1]
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        pad = n_pad - n
+        row0 = jnp.pad(row0, (0, pad))
+        x0 = jnp.pad(x0, (0, pad))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))   # zero weights ->
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))   # zero gwin adds
+        gout = jnp.pad(gout, ((0, pad),) + ((0, 0),) * (gout.ndim - 1))
+
+    acc = jnp.zeros(shape, dtype)
+    ri, rj, eybd, exbd = _expansion_consts(g, tile)
+    g2p, k = _g2p(g), WINDOW * WINDOW_X
+
+    grid = (n_pad // tile,)
+    return pl.pallas_call(
+        partial(_window_rmw_grad_kernel, tile=tile, g=g),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # row0, x0 in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW, tile * k),
+                             lambda i, *_: (0, 0)),
+                pl.BlockSpec((tile * WINDOW_X, tile * k),
+                             lambda i, *_: (0, 0)),
+                pl.BlockSpec((1, g, tile * WINDOW), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, g, tile * WINDOW_X),
+                             lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((tile, g * g, c), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),  # acc (aliased to out)
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((WINDOW, WINDOW_X, c), dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(tuple(shape), dtype),
+        # arg numbering includes the 2 scalar-prefetch operands
+        input_output_aliases={9: 0},
+        interpret=interpret,
+    )(row0.astype(jnp.int32), x0.astype(jnp.int32),
+      ri, rj, eybd, exbd,
+      _cat_layout(wy.astype(jnp.float32), tile),
+      _cat_layout(wx.astype(jnp.float32), tile),
+      gout.astype(jnp.float32).reshape(n_pad, g * g, c), acc)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def multi_window_pool_trainable(flats, row0s, x0s, wys, wxs,
                                 tile=8, interpret=False,
@@ -674,8 +825,29 @@ def _mwpt_bwd(tile, interpret, rows_list, batch, res, g):
                 batch, rows, wmax, tile=tile,
                 interpret=interpret).astype(stub.dtype))
             continue
+        if rows and batch and rows * wmax > _PLACE_PER_IMAGE_MAX_CELLS:
+            # too wide for VMEM residence AND too large in area for the
+            # placement GEMMs: stream per-view HBM read-modify-writes
+            # (measured 6.2 -> ~2.5 ms on c3 at train shapes, docs/PERF.md)
+            grads.append(pallas_window_rmw_grad(
+                g, row0.astype(jnp.int32), x0, wy, wx,
+                (stub.shape[0], wmax, c), stub.dtype, tile=tile,
+                interpret=interpret))
+            continue
         m = jnp.einsum("ngy,nghc->nyhc", wy, g)       # (N, 10, G, C)
         gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)    # (N, 10, 16, C)
+        if (rows and batch
+                and rows * wmax <= _PLACE_PER_IMAGE_MAX_CELLS):
+            # levels too wide for the VMEM kernel but small enough in area:
+            # per-image placement GEMMs (image-local one-hot rows — 8x fewer
+            # MXU FLOPs than the full-batch placement, and no scatter RMW)
+            img_off = jnp.repeat(
+                jnp.arange(batch, dtype=jnp.int32) * rows,
+                row0.shape[0] // batch)
+            grads.append(_place_windows_per_image(
+                row0.astype(jnp.int32) - img_off, x0, gwin, batch, rows,
+                wmax, stub.dtype, f32_dot=interpret))
+            continue
         # accumulate in the pyramid's own dtype: the result is cast to it
         # anyway (the build-VJP consumes it), and the f32 detour doubled the
         # zero-init + scatter + read-back HBM traffic of buffers that are

@@ -109,6 +109,138 @@ def test_placement_gemms_match_scatter():
                                    atol=1e-4, rtol=1e-5)
 
 
+def test_per_image_placement_matches_scatter():
+    """_place_windows_per_image (wide-level backward, r3) must equal the
+    per-batch scatter-add on the stacked flat buffer, including overlapping
+    windows within and across images."""
+    batch, v, rows, width, c = 3, 7, 30, 160, 8
+    n = batch * v
+    row0_rel = jnp.asarray(RNG.integers(0, rows - 10, n), jnp.int32)
+    x0 = jnp.asarray(
+        np.minimum(RNG.integers(0, width, n) // 8 * 8, width - 16), jnp.int32)
+    gwin = jnp.asarray(RNG.standard_normal((n, 10, 16, c)), jnp.float32)
+    placed = RK._place_windows_per_image(row0_rel, x0, gwin, batch, rows,
+                                         width, jnp.float32, f32_dot=True)
+    img_off = jnp.repeat(jnp.arange(batch, dtype=jnp.int32) * rows, v)
+    idx = jnp.stack([row0_rel + img_off, x0], -1)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1))
+    ref = lax.scatter_add(
+        jnp.zeros((batch * rows, width, c), jnp.float32), idx, gwin, dnums,
+        indices_are_sorted=False, unique_indices=False,
+        mode=lax.GatherScatterMode.CLIP)
+    np.testing.assert_allclose(np.asarray(placed), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_multi_bwd_wide_level_routes_per_image_placement():
+    """A level over the VMEM budget but under the per-image area cap must
+    take the per-image placement path and still match the plain scatter
+    backward (rows_list/batch given vs absent)."""
+    b, v = 2, 4
+    feat = jnp.asarray(RNG.standard_normal((2, 16, 24, 8)), jnp.float32)
+    flat_b, meta = RP.build_pyramid_batch(feat, 0.5)
+    rows = meta.flat.shape[0]
+    x1 = RNG.uniform(0, 20, b * v).astype(np.float32)
+    y1 = RNG.uniform(0, 14, b * v).astype(np.float32)
+    w = RNG.uniform(4, 26, b * v).astype(np.float32)
+    h = RNG.uniform(4, 16, b * v).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), v)
+    cot = jnp.asarray(RNG.standard_normal((b * v, 7, 7, 8)), jnp.float32)
+
+    def loss(f, with_meta):
+        kw = dict(trainable=True, tile=4, interpret=True)
+        if with_meta:
+            out = RK.batched_pyramid_pool_multi([f], [meta], rois, img_idx,
+                                                **kw)
+        else:
+            row0, x0, wy, wx = RK.view_geometry(meta, rois)
+            out = RK.multi_window_pool_trainable(
+                [f], [row0 + img_idx * rows], [x0], [wy], [wx], 4, True)
+        return (out.astype(jnp.float32) * cot).sum()
+
+    # force the per-image placement branch: VMEM budget 0, area cap huge
+    orig = RK._GRAD_VMEM_BUDGET
+    try:
+        RK._GRAD_VMEM_BUDGET = 0
+        g_place = np.asarray(jax.grad(lambda f: loss(f, True))(flat_b))
+    finally:
+        RK._GRAD_VMEM_BUDGET = orig
+    g_scatter = np.asarray(jax.grad(lambda f: loss(f, False))(flat_b))
+    assert np.abs(g_scatter).sum() > 0
+    np.testing.assert_allclose(g_place, g_scatter, atol=1e-4, rtol=1e-4)
+
+
+def test_rmw_grad_kernel_matches_scatter():
+    """pallas_window_rmw_grad (wide-level streaming backward, r3) must equal
+    the scatter-add on the same window cotangents — overlapping windows,
+    view padding (n not a tile multiple), and f32 buffers (interpret)."""
+    n, rows, width, c, g = 11, 30, 160, 8, 7
+    row0 = jnp.asarray(RNG.integers(0, rows - 10, n), jnp.int32)
+    x0 = jnp.asarray(
+        np.minimum(RNG.integers(0, width, n) // 8 * 8, width - 16), jnp.int32)
+    wy = jnp.asarray(RNG.standard_normal((n, g, 10)), jnp.float32)
+    wx = jnp.asarray(RNG.standard_normal((n, g, 16)), jnp.float32)
+    gout = jnp.asarray(RNG.standard_normal((n, g, g, c)), jnp.float32)
+
+    got = RK.pallas_window_rmw_grad(gout, row0, x0, wy, wx,
+                                    (rows, width, c), jnp.float32,
+                                    tile=4, interpret=True)
+    m = jnp.einsum("ngy,nghc->nyhc", wy, gout)
+    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)
+    idx = jnp.stack([row0, x0], -1)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1))
+    ref = lax.scatter_add(
+        jnp.zeros((rows, width, c), jnp.float32), idx, gwin, dnums,
+        indices_are_sorted=False, unique_indices=False,
+        mode=lax.GatherScatterMode.CLIP)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_multi_bwd_wide_area_routes_rmw_kernel():
+    """A level over both the VMEM budget and the placement area cap must
+    take the RMW streaming path and still match the plain scatter backward."""
+    b, v = 2, 4
+    feat = jnp.asarray(RNG.standard_normal((2, 16, 24, 8)), jnp.float32)
+    flat_b, meta = RP.build_pyramid_batch(feat, 0.5)
+    rows = meta.flat.shape[0]
+    x1 = RNG.uniform(0, 20, b * v).astype(np.float32)
+    y1 = RNG.uniform(0, 14, b * v).astype(np.float32)
+    w = RNG.uniform(4, 26, b * v).astype(np.float32)
+    h = RNG.uniform(4, 16, b * v).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), v)
+    cot = jnp.asarray(RNG.standard_normal((b * v, 7, 7, 8)), jnp.float32)
+
+    def loss(f, force_rmw):
+        if force_rmw:
+            out = RK.batched_pyramid_pool_multi([f], [meta], rois, img_idx,
+                                                trainable=True, tile=4,
+                                                interpret=True)
+        else:
+            row0, x0, wy, wx = RK.view_geometry(meta, rois)
+            out = RK.multi_window_pool_trainable(
+                [f], [row0 + img_idx * rows], [x0], [wy], [wx], 4, True)
+        return (out.astype(jnp.float32) * cot).sum()
+
+    orig_vmem, orig_cells = RK._GRAD_VMEM_BUDGET, RK._PLACE_PER_IMAGE_MAX_CELLS
+    try:
+        RK._GRAD_VMEM_BUDGET = 0
+        RK._PLACE_PER_IMAGE_MAX_CELLS = 0
+        g_rmw = np.asarray(jax.grad(lambda f: loss(f, True))(flat_b))
+    finally:
+        RK._GRAD_VMEM_BUDGET = orig_vmem
+        RK._PLACE_PER_IMAGE_MAX_CELLS = orig_cells
+    g_scatter = np.asarray(jax.grad(lambda f: loss(f, False))(flat_b))
+    assert np.abs(g_scatter).sum() > 0
+    np.testing.assert_allclose(g_rmw, g_scatter, atol=1e-4, rtol=1e-4)
+
+
 def test_pallas_grad_kernel_matches_scatter_backward():
     """The VMEM-accumulating Pallas backward (r3: pallas_window_grad via
     rows_list/batch on multi_window_pool_trainable) must produce the same

@@ -118,6 +118,56 @@ def test_placement_gemms_match_scatter_on_chip(rng):
                                atol=5e-2)
 
 
+def test_rmw_grad_kernel_on_chip(rng):
+    """pallas_window_rmw_grad (r3 wide-level streaming backward) compiled on
+    the chip == lax.scatter_add, both structurally (one-hot weights +
+    small-integer grads: every value and every overlap sum is bf16-exact,
+    so an index/ordering/DMA bug shows as an integer difference) and on
+    gaussian grads within bf16 accumulation tolerance."""
+    n, rows, width, C, G = 24, 40, 160, 128, 7
+    row0 = jnp.asarray(rng.integers(0, rows - RP.WINDOW, n), jnp.int32)
+    x0 = jnp.asarray((rng.integers(0, (width - RP.WINDOW_X) // 8, n) * 8),
+                     jnp.int32)
+
+    def scatter(gwin, dtype):
+        idx = jnp.stack([row0, x0], axis=-1)
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1))
+        return jax.lax.scatter_add(
+            jnp.zeros((rows, width, C), dtype), idx,
+            gwin.astype(dtype), dnums,
+            mode=jax.lax.GatherScatterMode.CLIP)
+
+    # (a) structural: one-hot wy/wx (bin i -> window row i, bin j -> col 2j)
+    # -> gwin entries in {-2..2}, overlap sums bounded by 48 — bf16-exact
+    wy = jnp.zeros((n, G, RP.WINDOW)).at[:, jnp.arange(G),
+                                         jnp.arange(G)].set(1.0)
+    wx = jnp.zeros((n, G, RP.WINDOW_X)).at[:, jnp.arange(G),
+                                           2 * jnp.arange(G)].set(1.0)
+    gout = jnp.asarray(rng.integers(-2, 3, (n, G, G, C)), jnp.float32)
+    got = RK.pallas_window_rmw_grad(gout, row0, x0, wy, wx,
+                                    (rows, width, C), jnp.bfloat16)
+    m = jnp.einsum("ngy,nghc->nyhc", wy, gout)
+    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32),
+        np.asarray(scatter(gwin, jnp.bfloat16), np.float32))
+    # (b) gaussian weights/grads: bf16 per-update rounding differs from the
+    # scatter's only in accumulation order
+    wy = jnp.asarray(rng.standard_normal((n, G, RP.WINDOW)), jnp.float32)
+    wx = jnp.asarray(rng.standard_normal((n, G, RP.WINDOW_X)), jnp.float32)
+    gout = jnp.asarray(rng.standard_normal((n, G, G, C)), jnp.float32)
+    got = RK.pallas_window_rmw_grad(gout, row0, x0, wy, wx,
+                                    (rows, width, C), jnp.bfloat16)
+    m = jnp.einsum("ngy,nghc->nyhc", wy, gout)
+    gwin = jnp.einsum("nyhc,nhx->nyxc", m, wx)
+    ref = np.asarray(scatter(gwin, jnp.bfloat16), np.float32)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref,
+                               atol=0.02 * scale)
+
+
 def test_bf16_pool_grad_accumulation_tolerance(rng):
     """ADVICE r2: the pool backward accumulates window grads in the
     pyramid's dtype (bf16 in production). Dense-overlap ROIs (many windows
