@@ -7,6 +7,11 @@ test speed — ~0.3 s/image (~3.33 img/s) for VGG-16 on a K40, excluding
 proposal generation (BASELINE.md; the reference repo's own table is
 unrecovered, see SURVEY.md §6).
 
+Default preset is the SERVING configuration (int8 FC heads, ops/quant.py):
+same float checkpoint quantized at load, AP-preservation pinned by
+tests/test_quant.py (CPU) and tests_tpu/test_flows_tpu.py (on-chip compiled
+path). `--preset multipath_vgg16_batched` benches the bf16 model.
+
 Usage: python bench.py [--batch 8] [--proposals 1000] [--iters 20]
 Extra diagnostics go to stderr; stdout carries exactly one JSON line.
 """
@@ -33,7 +38,7 @@ def main() -> None:
     p.add_argument("--proposals", type=int, default=1000)
     p.add_argument("--canvas", type=int, default=640)
     p.add_argument("--iters", type=int, default=20)
-    p.add_argument("--preset", default="multipath_vgg16_batched")
+    p.add_argument("--preset", default="multipath_vgg16_int8")
     args = p.parse_args()
 
     import dataclasses
@@ -79,8 +84,13 @@ def main() -> None:
     # measured 100-250s through the remote compiler, and a HOST fill
     # measured 45-70s (2 GB of f64 RNG + tunnel transfer; PERF.md startup
     # table). One tiny jitted RNG graph generates the tree in-place.
+    # Quantized presets follow the serving flow: generate the FLOAT tree,
+    # then jit ops.quant.quantize_head_params over it (load-time transform).
+    float_model = (build_model(
+        dataclasses.replace(cfg.model, head_quant="none"))
+        if cfg.model.head_quant != "none" else model)
     shapes = jax.eval_shape(
-        lambda: model.init(jax.random.key(0), init_img, init_rois))
+        lambda: float_model.init(jax.random.key(0), init_img, init_rois))
     leaves, treedef = jax.tree.flatten(shapes)
 
     @jax.jit
@@ -90,6 +100,10 @@ def main() -> None:
                 for k, l in zip(ks, leaves)]
 
     params = jax.tree.unflatten(treedef, make_params(jax.random.key(0)))
+    if cfg.model.head_quant != "none":
+        from multipathnet_tpu.ops.quant import quantize_head_params
+
+        params = jax.jit(quantize_head_params)(params)
     jax.block_until_ready(params)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     log(f"params: {n_params/1e6:.1f}M on device ({time.time()-t0:.1f}s)")
@@ -133,9 +147,10 @@ def main() -> None:
     ips = args.batch * args.iters / dt
     log(f"{args.iters} iters x {b} imgs in {dt:.2f}s")
 
+    quant_tag = (f", int8 FC heads" if cfg.model.head_quant == "int8" else "")
     print(json.dumps({
-        "metric": f"images/sec/chip (MultiPath {cfg.model.backbone}, "
-                  f"{p_} proposals/img, "
+        "metric": f"images/sec/chip (MultiPath {cfg.model.backbone}"
+                  f"{quant_tag}, {p_} proposals/img, "
                   f"{s}x{s}, batch {b}, proposals->detections on device)",
         "value": round(ips, 3),
         "unit": "images/sec",

@@ -63,6 +63,11 @@ class ModelConfig:
     # or "direct" / "pallas" explicitly.
     train_roi_impl: str = "auto"
     fc_dim: int = 4096  # FC6/FC7 width (VGG-16 heads)
+    # FC-head quantization for SERVING: "none" (bf16 GEMMs) or "int8"
+    # (dynamic-activation / static-per-channel-weight int8 on the MXU,
+    # ~2x the bf16 GEMM rate on v5e — ops/quant.py). Inference-only; load a
+    # float checkpoint through ops.quant.quantize_head_params first.
+    head_quant: str = "none"
     dtype: str = "bfloat16"  # trunk compute dtype; heads/losses stay f32
     # bbox regression target normalization (Fast R-CNN §2.3 / BBoxNorm.lua)
     bbox_reg_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
@@ -160,6 +165,12 @@ def preset(name: str) -> Config:
     elif name == "multipath_vgg16_batched":
         # config 3: batched inference 8 imgs x 1000 proposals, fused kernels
         c = _replace(c, "train", batch_size=8)
+    elif name == "multipath_vgg16_int8":
+        # config 3 + int8 FC heads: the serving configuration. Same float
+        # checkpoint, quantized at load (ops/quant.quantize_head_params);
+        # accuracy pinned within noise of bf16 by tests/test_quant.py.
+        c = _replace(c, "model", head_quant="int8")
+        c = _replace(c, "train", batch_size=8)
     elif name == "multipath_vgg16_train":
         # config 4: integral-loss fine-tuning, data-parallel over the TPU mesh
         pass
@@ -199,6 +210,7 @@ PRESETS = (
     "fastrcnn_vgg16_single",
     "multipath_vgg16_b1",
     "multipath_vgg16_batched",
+    "multipath_vgg16_int8",
     "multipath_vgg16_train",
     "multipath_vgg16_reference",
     "multipath_resnet18_integral",

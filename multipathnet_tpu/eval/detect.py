@@ -144,6 +144,14 @@ class Detector:
     """
 
     def __init__(self, model: MultiPathNet, params, cfg: Config, mesh=None):
+        if model.cfg.head_quant == "int8":
+            # serving config on a FLOAT checkpoint: quantize the head once at
+            # load (ops/quant.py); already-quantized trees pass through.
+            leaves = jax.tree_util.tree_leaves_with_path(params)
+            if not any("kernel_i8" in str(p) for p, _ in leaves):
+                from multipathnet_tpu.ops.quant import quantize_head_params
+
+                params = quantize_head_params(params)
         self.model, self.params, self.cfg = model, params, cfg
         fn = lambda p, im, hw, pr, pm: detect_batch(p, model, cfg,
                                                     im, hw, pr, pm)

@@ -28,10 +28,45 @@ TPU layout notes (docs/PERF.md, measured on the v5e 2026-08-16):
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Callable, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+
+class Int8Dense(nn.Module):
+    """Drop-in Dense for int8 serving (ops/quant.py): per-output-channel int8
+    kernel quantized at LOAD time (`quantize_head_params`), dynamic per-row
+    activation quantization in-graph, int32 MXU accumulation. Param layout
+    {kernel_i8, kernel_scale, bias} replaces Dense's {kernel, bias}; init
+    exists only to give the tree its shapes — real weights always arrive via
+    the load-time transform of a float checkpoint."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_scale=None) -> jnp.ndarray:
+        """x float (quantized in here), or pre-quantized int8 with its per-row
+        `x_scale` — the head pre-quantizes the pooled tensor ONCE and feeds
+        int8 slices, so the per-branch strided reads don't each repay a
+        quantization pass (bench-measured: per-branch quantize-of-a-slice
+        lost the whole int8 GEMM win)."""
+        from multipathnet_tpu.ops import quant
+
+        k = x.shape[-1]
+        w_i8 = self.param("kernel_i8", nn.initializers.zeros,
+                          (k, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        if x_scale is None:
+            x, x_scale = quant.quantize_rows(x)
+        out = quant.matmul_int8(x, x_scale, w_i8, scale, bias)
+        return out.astype(self.dtype)
 
 
 class MultiPathHead(nn.Module):
@@ -43,6 +78,9 @@ class MultiPathHead(nn.Module):
     class_specific_bbox: bool = True
     dropout_rate: float = 0.5
     dtype: Any = jnp.bfloat16
+    # "none" (bf16 GEMMs) or "int8" (serving path: Int8Dense everywhere the
+    # head has a GEMM; params come from ops/quant.quantize_head_params).
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray, train: bool = False):
@@ -52,6 +90,11 @@ class MultiPathHead(nn.Module):
         b, f, r, g, _, c = pooled.shape
         assert f == len(self.foveal_scales), (f, self.foveal_scales)
         assert c == self.skip_reduce_dim, (c, self.skip_reduce_dim)
+        assert self.quant in ("none", "int8"), self.quant
+        assert not (train and self.quant != "none"), (
+            "int8 head is inference-only; train with quant='none' and "
+            "quantize the checkpoint via ops.quant.quantize_head_params")
+        dense: Callable = (Int8Dense if self.quant == "int8" else nn.Dense)
         n = b * r
 
         # shared bias + ReLU completing the ION-style reduction (the 1x1 convs
@@ -59,14 +102,25 @@ class MultiPathHead(nn.Module):
         bias = self.param("skip_bias", nn.initializers.zeros, (c,))
         x = nn.relu(pooled.astype(self.dtype) + bias.astype(self.dtype))
 
-        # per-branch FC6/FC7 (each foveal view has its own head — §3.1)
+        # per-branch FC6/FC7 (each foveal view has its own head — §3.1).
+        # int8 path: quantize the pooled tensor ONCE (per-(roi,view) rows),
+        # then feed int8 slices — quantizing each branch's strided slice
+        # separately cost the entire int8 win (74.0 vs 75.4 img/s measured).
+        if self.quant == "int8":
+            from multipathnet_tpu.ops import quant as quant_ops
+
+            xq, xs = quant_ops.quantize_rows(x.reshape(b, f, r, g * g * c))
         branches = []
         for i in range(f):
-            h = x[:, i].reshape(n, g * g * c)
-            h = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc6_f{i}")(h)
+            if self.quant == "int8":
+                h = dense(self.fc_dim, dtype=self.dtype, name=f"fc6_f{i}")(
+                    xq[:, i].reshape(n, g * g * c), xs[:, i].reshape(n, 1))
+            else:
+                h = x[:, i].reshape(n, g * g * c)
+                h = dense(self.fc_dim, dtype=self.dtype, name=f"fc6_f{i}")(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
-            h = nn.Dense(self.fc_dim, dtype=self.dtype, name=f"fc7_f{i}")(h)
+            h = dense(self.fc_dim, dtype=self.dtype, name=f"fc7_f{i}")(h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             branches.append(h)
@@ -90,8 +144,12 @@ class MultiPathHead(nn.Module):
                                               dtype)
             return jnp.concatenate([kc, kb], axis=1)
 
-        out = nn.Dense(cls_dim + bbox_dim, dtype=self.dtype,
-                       kernel_init=mixed_init, name="cls_bbox")(trunk)
+        if self.quant == "int8":
+            out = Int8Dense(cls_dim + bbox_dim, dtype=self.dtype,
+                            name="cls_bbox")(trunk)
+        else:
+            out = nn.Dense(cls_dim + bbox_dim, dtype=self.dtype,
+                           kernel_init=mixed_init, name="cls_bbox")(trunk)
         scores = out[:, :cls_dim].reshape(n, k, self.num_classes)
         bbox = out[:, cls_dim:]
         return scores.astype(jnp.float32), bbox.astype(jnp.float32)

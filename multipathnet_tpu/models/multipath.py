@@ -54,6 +54,7 @@ class MultiPathNet(nn.Module):
             skip_reduce_dim=self.cfg.skip_reduce_dim,
             class_specific_bbox=self.cfg.class_specific_bbox,
             dtype=dtype,
+            quant=self.cfg.head_quant,
         )
 
     def features(self, images: jnp.ndarray, train: bool = False) -> dict:

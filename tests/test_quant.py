@@ -1,0 +1,169 @@
+"""Int8 FC-head quantization (ops/quant.py + Int8Dense serving path).
+
+The scheme (per-output-channel static weights, per-row dynamic activations,
+int32 accumulation) is a TPU serving optimization with no reference
+counterpart — accuracy is pinned HERE against the float head, and speed on
+hardware in docs/PERF.md / tests_tpu.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multipathnet_tpu.core.config import preset
+from multipathnet_tpu.models.multipath import build_model
+from multipathnet_tpu.ops import quant
+
+RNG = np.random.default_rng(11)
+
+
+def test_quantize_weight_roundtrip():
+    w = jnp.asarray(RNG.standard_normal((96, 40)) * 0.07, jnp.float32)
+    w_i8, scale = quantize = quant.quantize_weight(w)
+    assert w_i8.dtype == jnp.int8 and scale.shape == (40,)
+    # symmetric per-column: reconstruction error bounded by scale/2 per elem
+    rec = w_i8.astype(jnp.float32) * scale[None, :]
+    assert np.all(np.abs(np.asarray(rec - w)) <= np.asarray(scale)[None, :] * 0.5 + 1e-9)
+    # zero column stays zero with a defined scale
+    w0 = w.at[:, 3].set(0.0)
+    w_i8, scale = quant.quantize_weight(w0)
+    assert np.all(np.asarray(w_i8[:, 3]) == 0) and float(scale[3]) > 0
+
+
+def test_dense_int8_matches_float():
+    x = jnp.asarray(RNG.standard_normal((64, 256)).clip(0) * 1.7, jnp.float32)
+    w = jnp.asarray(RNG.standard_normal((256, 48)) * 0.05, jnp.float32)
+    b = jnp.asarray(RNG.standard_normal((48,)), jnp.float32)
+    ref = x @ w + b
+    out = quant.dense_int8(x, *quant.quantize_weight(w), b)
+    # int8 x int8 with 1% rows: relative error ~1/127 per operand
+    err = np.abs(np.asarray(out - ref)).mean()
+    mag = np.abs(np.asarray(ref)).mean()
+    assert err / mag < 0.02, (err, mag)
+
+
+def _tiny_pair():
+    cfg = preset("tiny")
+    qcfg = cfg.replace(model=dataclasses.replace(cfg.model, head_quant="int8"))
+    model = build_model(cfg.model)
+    qmodel = build_model(qcfg.model)
+    images = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    rois = jnp.asarray(RNG.uniform(5, 40, (2, 8, 4)), jnp.float32)
+    rois = rois.at[..., 2:].add(12.0)
+    params = model.init(jax.random.key(0), images, rois)
+    return cfg, qcfg, model, qmodel, params, images, rois
+
+
+def test_quantize_head_params_matches_quant_model_structure():
+    """The load transform must produce EXACTLY the tree a quant-mode model
+    expects (flax apply is strict about param paths/shapes/dtypes)."""
+    _, _, _, qmodel, params, images, rois = _tiny_pair()
+    qparams = quant.quantize_head_params(params)
+    expect = jax.eval_shape(
+        lambda: qmodel.init(jax.random.key(0), images, rois))
+    got_paths = {jax.tree_util.keystr(p): (v.shape, v.dtype)
+                 for p, v in jax.tree_util.tree_leaves_with_path(qparams)}
+    want_paths = {jax.tree_util.keystr(p): (v.shape, v.dtype)
+                  for p, v in jax.tree_util.tree_leaves_with_path(expect)}
+    assert got_paths == want_paths
+
+
+def test_quant_scores_match_float():
+    """Full-model forward: int8 head tracks the float head to ~1% relative
+    logit error, which keeps post-softmax probabilities within 2e-2 when the
+    softmax is NOT saturated (saturated logits amplify any numeric scheme's
+    error — bf16's too — so the probe boosts weights only mildly)."""
+    cfg, qcfg, model, qmodel, params, images, rois = _tiny_pair()
+    # random-init logits are near-degenerate; scale the head weights up so
+    # the comparison exercises real dynamic range (x2 per layer ~ x8 logits)
+    import flax
+
+    tree = flax.core.unfreeze(params)
+
+    def boost(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if k.startswith(("fc6_f", "fc7_f")) or k == "cls_bbox":
+                    v["kernel"] = v["kernel"] * 2.0
+                else:
+                    boost(v)
+
+    boost(tree)
+    params = flax.core.freeze(tree) if hasattr(params, "unfreeze") else tree
+    qparams = quant.quantize_head_params(params)
+
+    images_r = jnp.asarray(RNG.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    scores, deltas = model.apply(params, images_r, rois)
+    qscores, qdeltas = qmodel.apply(qparams, images_r, rois)
+    s_err = np.abs(np.asarray(scores - qscores)).mean()
+    s_mag = np.abs(np.asarray(scores)).mean() + 1e-9
+    assert s_err / s_mag < 0.03, (s_err, s_mag)
+    probs = jax.nn.softmax(scores, axis=-1)
+    qprobs = jax.nn.softmax(qscores, axis=-1)
+    assert np.abs(np.asarray(probs - qprobs)).max() < 2e-2, (
+        np.abs(np.asarray(probs - qprobs)).max())
+    d_err = np.abs(np.asarray(deltas - qdeltas)).mean()
+    d_mag = np.abs(np.asarray(deltas)).mean() + 1e-9
+    assert d_err / d_mag < 0.05, (d_err, d_mag)
+
+
+def test_detector_autoquantizes_float_checkpoint():
+    """Detector(head_quant=int8) on a float param tree must quantize at load
+    and produce detections matching the float detector's on a real scene."""
+    from multipathnet_tpu.eval.detect import Detector
+
+    cfg, qcfg, model, qmodel, params, _, _ = _tiny_pair()
+    b, p, s = 2, 16, 64
+    images = RNG.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    hws = np.full((b, 2), float(s), np.float32)
+    x1 = RNG.uniform(0, 30, (b, p)).astype(np.float32)
+    y1 = RNG.uniform(0, 30, (b, p)).astype(np.float32)
+    props = np.stack([x1, y1, x1 + 20, y1 + 20], -1)
+    mask = np.ones((b, p), bool)
+
+    det_f = Detector(model, params, cfg)
+    det_q = Detector(qmodel, params, qcfg)  # float tree in, quantized inside
+    of, oq = det_f(images, hws, props, mask), det_q(images, hws, props, mask)
+    assert set(of) == set(oq)
+    assert np.isfinite(oq["scores"]).all() and np.isfinite(oq["boxes"]).all()
+    # scores of the float and int8 paths agree to quantization tolerance on
+    # the detections both keep (NMS may reorder ULP-ties; compare top score)
+    if of["valid"].any() and oq["valid"].any():
+        assert abs(of["scores"].max() - oq["scores"].max()) < 3e-2
+
+
+@pytest.mark.slow
+def test_quantized_ap_matches_float_after_training(tmp_path):
+    """Serving guarantee: int8 AP50 within 0.1 of the float model's on a
+    trained checkpoint (synthetic overfit, same recipe as test_e2e)."""
+    from multipathnet_tpu.data import synthetic
+    from multipathnet_tpu.data.coco import CocoLoader
+    from multipathnet_tpu.data.pipeline import DetectionPipeline
+    from multipathnet_tpu.data.proposals import ProposalStore
+    from multipathnet_tpu.eval.tester import Tester
+    from multipathnet_tpu.train.loop import Trainer
+
+    fx = synthetic.generate(str(tmp_path), num_images=8, image_size=64,
+                            num_classes=4, proposals_per_image=24, seed=5)
+    cfg = preset("tiny")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, num_classes=5))
+    loader = CocoLoader(fx["annotations"], fx["images"])
+    props = ProposalStore.load(fx["proposals"])
+    trainer = Trainer(cfg)
+    pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
+    state = trainer.init_state()
+    for ep in range(30):
+        for batch in pipe.epoch(ep):
+            state, _ = trainer.step(state, batch)
+
+    float_ap = Tester(trainer.model, state.params, cfg, loader, props,
+                      batch_size=2).test()
+    qcfg = cfg.replace(model=dataclasses.replace(cfg.model, head_quant="int8"))
+    qmodel = build_model(qcfg.model)
+    int8_ap = Tester(qmodel, state.params, qcfg, loader, props,
+                     batch_size=2).test()
+    assert float_ap["AP50"] > 0.5, float_ap
+    assert int8_ap["AP50"] > float_ap["AP50"] - 0.1, (float_ap, int8_ap)

@@ -90,6 +90,42 @@ def test_detect_batch_finite_and_chunk_invariant(rng):
                                err_msg="chunk variance in boxes")
 
 
+def test_int8_head_matches_float_on_chip(rng):
+    """The int8 serving path (ops/quant.py), COMPILED on the chip: the
+    quantized head's post-softmax probabilities track the bf16 head's on the
+    production Pallas detect graph. CPU tests pin the scheme's math
+    (tests/test_quant.py); this pins the Mosaic/MXU int8 lowering — a
+    regression in int8 dot_general or in the single-pass pooled-tensor
+    quantization (docs/PERF.md r3: per-slice quantization silently lost the
+    entire win) surfaces here, not in the driver's bench."""
+    from multipathnet_tpu.ops.quant import quantize_head_params
+
+    b, p, s = 2, 192, 256
+    base = preset("multipath_resnet18_integral")
+    inputs = detect_inputs(np.random.default_rng(7), b, p, s)
+    outs = {}
+    params = None
+    for hq in ("none", "int8"):
+        cfg = base.replace(
+            model=dataclasses.replace(base.model, head_quant=hq),
+            data=dataclasses.replace(base.data, image_size=(s, s),
+                                     max_proposals=p))
+        model = build_model(cfg.model)
+        if params is None:
+            params = device_params(model, s)
+        pa = params if hq == "none" else jax.jit(quantize_head_params)(params)
+        sf = jax.jit(lambda pa, im, hw, pr, _m=model, _c=cfg:
+                     score_batch(pa, _m, _c, im, hw, pr))
+        bx, pb = sf(pa, *inputs[:3])
+        outs[hq] = (np.asarray(bx), np.asarray(pb))
+    assert np.isfinite(outs["int8"][0]).all()
+    assert np.isfinite(outs["int8"][1]).all()
+    # random-weight probs are diffuse (far from softmax saturation): int8
+    # quantization error stays within a few e-2 absolute on probabilities
+    np.testing.assert_allclose(outs["int8"][1], outs["none"][1], atol=3e-2)
+    np.testing.assert_allclose(outs["int8"][0], outs["none"][0], atol=s * 3e-2)
+
+
 def test_windowed_max_equals_direct_on_chip(rng):
     """r3 windowed exact-max vs the direct oracle, ON the chip, in the
     level-0 (bit-exact) regime: boxes <= 7 cells at the finest stride-4
