@@ -1,0 +1,64 @@
+"""Export a serving bundle from a training checkpoint.
+
+    python -m multipathnet_tpu.cli.export_serving --preset multipath_vgg16_batched \
+        --checkpoint-dir /tmp/mpnet_ckpt --out /tmp/mpnet_bundle --quant int8
+
+The TPU-native analog of shipping a `.t7` model file (SURVEY.md §2.1 demo
+row): the bundle fuses config + weights, with the FC heads already quantized
+for the MXU's int8 path when --quant int8 (the default; docs/PERF.md r3:
+75.4 -> 104.6 img/s on the headline bench, AP-preservation tested).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from multipathnet_tpu.cli import common
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_config_args(p)
+    p.add_argument("--checkpoint-dir", default="",
+                   help="orbax checkpoint dir (default: random init — "
+                        "useful only for smoke tests)")
+    p.add_argument("--out", required=True, help="bundle output directory")
+    p.add_argument("--quant", default="int8", choices=("int8", "none"),
+                   help="head quantization of the exported bundle")
+    args = p.parse_args(argv)
+
+    cfg = common.build_config(args)
+
+    from multipathnet_tpu.eval.serving import save_bundle
+    from multipathnet_tpu.train.loop import Trainer
+
+    # checkpoints are FLOAT trees: restore against a float model regardless
+    # of the requested bundle quantization (save_bundle quantizes at export)
+    import dataclasses
+
+    float_cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, head_quant="none"))
+    trainer = Trainer(float_cfg)
+    state = trainer.init_state()
+    if args.checkpoint_dir:
+        from multipathnet_tpu.train.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(os.path.join(args.checkpoint_dir, "ckpt"))
+        restored = ckpt.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
+        state = restored
+        print(f"exporting step {int(np.asarray(state.step))}")
+
+    save_bundle(args.out, cfg, state.params, quant=args.quant)
+    sizes = {f: os.path.getsize(os.path.join(args.out, f))
+             for f in sorted(os.listdir(args.out))}
+    print(f"bundle written to {args.out}: " +
+          ", ".join(f"{f} ({s/1e6:.1f} MB)" for f, s in sizes.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,32 @@ class Config:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
 
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        """Inverse of to_json (serving bundles / config dumps). JSON arrays
+        come back as the tuples the frozen dataclasses declare."""
+        raw = json.loads(text)
+
+        def build(cls, d):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue  # forward-compat: missing field -> default
+                v = d[f.name]
+                if dataclasses.is_dataclass(f.type) or f.name in (
+                        "model", "data", "train", "eval", "mesh"):
+                    sub = {"model": ModelConfig, "data": DataConfig,
+                           "train": TrainConfig, "eval": EvalConfig,
+                           "mesh": MeshConfig}[f.name]
+                    kw[f.name] = build(sub, v)
+                elif isinstance(v, list):
+                    kw[f.name] = tuple(v)
+                else:
+                    kw[f.name] = v
+            return cls(**kw)
+
+        return build(Config, raw)
+
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
 
