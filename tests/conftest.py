@@ -40,3 +40,45 @@ os.makedirs(os.path.expanduser("~/.cache/multipathnet_tpu/xla-cpu-tests"),
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/multipathnet_tpu/xla-cpu-tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def overfit_tiny(tmp_path_factory):
+    """Synthetic 8-image set + tiny detector OVERFIT for 30 epochs — shared
+    session-wide (the micro-training costs ~60 s on this 1-core box; e2e
+    golden test and int8-AP-preservation both need the same trained state).
+    Returns dict(cfg, loader, props, trainer, state, losses, before)."""
+    import dataclasses
+
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.core.mesh import make_mesh
+    from multipathnet_tpu.data import synthetic
+    from multipathnet_tpu.data.coco import CocoLoader
+    from multipathnet_tpu.data.pipeline import DetectionPipeline
+    from multipathnet_tpu.data.proposals import ProposalStore
+    from multipathnet_tpu.eval.tester import Tester
+    from multipathnet_tpu.train.loop import Trainer
+
+    root = str(tmp_path_factory.mktemp("overfit_ds"))
+    fx = synthetic.generate(root, num_images=8, image_size=64,
+                            num_classes=4, proposals_per_image=24, seed=5)
+    cfg = preset("tiny")
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, num_classes=5))
+    loader = CocoLoader(fx["annotations"], fx["images"])
+    props = ProposalStore.load(fx["proposals"])
+    trainer = Trainer(cfg, mesh=make_mesh(n_data=2))
+    pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
+
+    state = trainer.init_state()
+    before = Tester(trainer.model, state.params, cfg, loader, props,
+                    batch_size=2).test()
+    losses = []
+    for ep in range(30):
+        for batch in pipe.epoch(ep):
+            state, m = trainer.step(state, batch)
+            losses.append(float(m["loss"]))
+    return dict(cfg=cfg, loader=loader, props=props, trainer=trainer,
+                state=state, losses=losses, before=before)

@@ -136,34 +136,18 @@ def test_detector_autoquantizes_float_checkpoint():
 
 
 @pytest.mark.slow
-def test_quantized_ap_matches_float_after_training(tmp_path):
+def test_quantized_ap_matches_float_after_training(overfit_tiny):
     """Serving guarantee: int8 AP50 within 0.1 of the float model's on a
-    trained checkpoint (synthetic overfit, same recipe as test_e2e)."""
-    from multipathnet_tpu.data import synthetic
-    from multipathnet_tpu.data.coco import CocoLoader
-    from multipathnet_tpu.data.pipeline import DetectionPipeline
-    from multipathnet_tpu.data.proposals import ProposalStore
+    trained checkpoint (the session-scoped synthetic overfit state)."""
     from multipathnet_tpu.eval.tester import Tester
-    from multipathnet_tpu.train.loop import Trainer
 
-    fx = synthetic.generate(str(tmp_path), num_images=8, image_size=64,
-                            num_classes=4, proposals_per_image=24, seed=5)
-    cfg = preset("tiny")
-    cfg = cfg.replace(model=dataclasses.replace(cfg.model, num_classes=5))
-    loader = CocoLoader(fx["annotations"], fx["images"])
-    props = ProposalStore.load(fx["proposals"])
-    trainer = Trainer(cfg)
-    pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
-    state = trainer.init_state()
-    for ep in range(30):
-        for batch in pipe.epoch(ep):
-            state, _ = trainer.step(state, batch)
-
-    float_ap = Tester(trainer.model, state.params, cfg, loader, props,
-                      batch_size=2).test()
+    fx = overfit_tiny
+    cfg, state = fx["cfg"], fx["state"]
+    float_ap = Tester(fx["trainer"].model, state.params, cfg, fx["loader"],
+                      fx["props"], batch_size=2).test()
     qcfg = cfg.replace(model=dataclasses.replace(cfg.model, head_quant="int8"))
     qmodel = build_model(qcfg.model)
-    int8_ap = Tester(qmodel, state.params, qcfg, loader, props,
+    int8_ap = Tester(qmodel, state.params, qcfg, fx["loader"], fx["props"],
                      batch_size=2).test()
     assert float_ap["AP50"] > 0.5, float_ap
     assert int8_ap["AP50"] > float_ap["AP50"] - 0.1, (float_ap, int8_ap)
