@@ -35,7 +35,13 @@ def main(argv=None) -> None:
     from multipathnet_tpu.eval.tester import Tester
     from multipathnet_tpu.train.loop import Trainer
 
-    trainer = Trainer(cfg)
+    # checkpoints are float trees: restore against a float model; the int8
+    # serving path (head_quant="int8") is applied to the EVAL model below
+    # (Detector quantizes the restored float params at load)
+    quant = cfg.model.head_quant
+    float_cfg = cfg if quant == "none" else cfg.replace(
+        model=dataclasses.replace(cfg.model, head_quant="none"))
+    trainer = Trainer(float_cfg)
     state = trainer.init_state()
     if args.checkpoint_dir:
         import os
@@ -60,7 +66,13 @@ def main(argv=None) -> None:
     else:
         print(f"eval mesh: {n}-wide data parallel")
 
-    tester = Tester(trainer.model, state.params, cfg, loader, props,
+    eval_model = trainer.model
+    if quant != "none":
+        from multipathnet_tpu.models.multipath import build_model
+
+        eval_model = build_model(cfg.model)
+        print(f"head_quant={quant}: quantizing restored checkpoint at load")
+    tester = Tester(eval_model, state.params, cfg, loader, props,
                     mesh=mesh)
     metrics = tester.test(max_images=args.max_images or None, verbose=not args.json)
     if args.json:

@@ -180,6 +180,11 @@ class Trainer:
     """
 
     def __init__(self, cfg: Config, mesh=None):
+        if cfg.model.head_quant != "none":
+            raise ValueError(
+                "training is float-only: set model.head_quant='none' and "
+                "quantize the trained checkpoint at export "
+                "(cli.export_serving / ops.quant.quantize_head_params)")
         self.cfg = cfg
         # freeze via stop_gradient in the trunk: XLA skips the frozen
         # backward instead of computing grads a mask would zero. The

@@ -65,6 +65,34 @@ def test_eval_cli_with_checkpoint(workdir, capsys):
     assert "AP" in metrics and "AP50" in metrics
 
 
+def test_eval_cli_int8_serving_config(workdir, capsys):
+    """--set model.head_quant=int8 must restore the FLOAT checkpoint and
+    quantize at load (cli/eval routes through a float Trainer + quant
+    Detector); AP stays within quantization noise of the float eval."""
+    from multipathnet_tpu.cli import eval as eval_cli
+
+    results = {}
+    for hq in ("none", "int8"):
+        eval_cli.main([
+            "--preset", "tiny", "--synthetic",
+            "--dataset-root", str(workdir / "ds"),
+            "--checkpoint-dir", str(workdir / "run1"),
+            "--set", f"model.head_quant={hq}",
+            "--json",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        results[hq] = json.loads(out)
+    assert abs(results["int8"]["AP50"] - results["none"]["AP50"]) <= 0.1
+
+
+def test_trainer_rejects_quantized_config():
+    from multipathnet_tpu.core.config import preset
+    from multipathnet_tpu.train.loop import Trainer
+
+    with pytest.raises(ValueError, match="float-only"):
+        Trainer(preset("multipath_vgg16_int8"))
+
+
 def test_demo_cli_writes_image(workdir):
     from multipathnet_tpu.cli import demo as demo_cli
 
