@@ -137,3 +137,55 @@ def resolve_data(args, cfg: Config):
     prop_path = args.proposals or os.path.join(
         root, f"proposals_{args.split}.npz")
     return loader, ProposalStore.load(prop_path)
+
+
+def restore_float_state(cfg: Config, checkpoint_dir: str = "",
+                        strict: bool = True):
+    """Shared CLI restore contract (eval/demo/export_serving): checkpoints
+    are FLOAT trees, so restore against a float-head Trainer even when the
+    requested config is an int8 serving one — quantization happens at the
+    consumer (Detector at load / save_bundle at export).
+
+    -> (trainer, state). strict: a checkpoint_dir with no checkpoint raises
+    SystemExit; strict=False keeps the random init (the demo's contract)."""
+    from multipathnet_tpu.train.loop import Trainer
+
+    float_cfg = cfg
+    if cfg.model.head_quant != "none":
+        float_cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, head_quant="none"))
+    trainer = Trainer(float_cfg)
+    state = trainer.init_state()
+    if checkpoint_dir:
+        import os
+        import sys
+
+        import numpy as np
+
+        from multipathnet_tpu.train.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(os.path.join(checkpoint_dir, "ckpt"))
+        restored = ckpt.restore_latest(state)
+        if restored is None:
+            if strict:
+                raise SystemExit(f"no checkpoint under {checkpoint_dir}")
+        else:
+            state = restored
+            print(f"restored step {int(np.asarray(state.step))}",
+                  file=sys.stderr)
+    return trainer, state
+
+
+def eval_model_for(cfg: Config, trainer):
+    """The model to EVALUATE with: the trainer's float model, or a freshly
+    built quantized-head one when cfg requests int8 serving (the float
+    checkpoint params pass through Detector, which quantizes at load)."""
+    if cfg.model.head_quant == "none":
+        return trainer.model
+    import sys
+
+    from multipathnet_tpu.models.multipath import build_model
+
+    print(f"head_quant={cfg.model.head_quant}: quantizing restored "
+          f"checkpoint at load", file=sys.stderr)
+    return build_model(cfg.model)

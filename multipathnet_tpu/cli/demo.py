@@ -104,27 +104,9 @@ def main(argv=None) -> None:
 
     from multipathnet_tpu.core.padding import pad_to
     from multipathnet_tpu.eval.detect import Detector
-    from multipathnet_tpu.train.loop import Trainer
 
-    # float checkpoints restore against a float model; int8 serving configs
-    # quantize inside Detector at load (eval/detect.py)
-    import dataclasses as _dc
-
-    quant = cfg.model.head_quant
-    float_cfg = cfg if quant == "none" else cfg.replace(
-        model=_dc.replace(cfg.model, head_quant="none"))
-    trainer = Trainer(float_cfg)
-    state = trainer.init_state()
-    if args.checkpoint_dir:
-        import os
-
-        from multipathnet_tpu.train.checkpoint import Checkpointer
-
-        restored = Checkpointer(
-            os.path.join(args.checkpoint_dir, "ckpt")).restore_latest(state)
-        if restored is not None:
-            state = restored
-            print(f"restored step {int(np.asarray(state.step))}")
+    trainer, state = common.restore_float_state(cfg, args.checkpoint_dir,
+                                                strict=False)
 
     if args.image:
         from PIL import Image
@@ -171,12 +153,7 @@ def main(argv=None) -> None:
 
     h, w = image.shape[:2]
     pb, pm = pad_to(boxes.astype(np.float32), cfg.data.max_proposals)
-    det_model = trainer.model
-    if quant != "none":
-        from multipathnet_tpu.models.multipath import build_model
-
-        det_model = build_model(cfg.model)
-    det = Detector(det_model, state.params, cfg)
+    det = Detector(common.eval_model_for(cfg, trainer), state.params, cfg)
     out = det(image[None], np.asarray([[h, w]], np.float32),
               pb[None], pm[None])
     dets = {k: v[0] for k, v in out.items()}

@@ -11,8 +11,6 @@ import argparse
 import dataclasses
 import json
 
-import numpy as np
-
 from multipathnet_tpu.cli import common
 
 
@@ -33,27 +31,8 @@ def main(argv=None) -> None:
             cfg.model, num_classes=loader.num_classes))
 
     from multipathnet_tpu.eval.tester import Tester
-    from multipathnet_tpu.train.loop import Trainer
 
-    # checkpoints are float trees: restore against a float model; the int8
-    # serving path (head_quant="int8") is applied to the EVAL model below
-    # (Detector quantizes the restored float params at load)
-    quant = cfg.model.head_quant
-    float_cfg = cfg if quant == "none" else cfg.replace(
-        model=dataclasses.replace(cfg.model, head_quant="none"))
-    trainer = Trainer(float_cfg)
-    state = trainer.init_state()
-    if args.checkpoint_dir:
-        import os
-
-        from multipathnet_tpu.train.checkpoint import Checkpointer
-
-        ckpt = Checkpointer(os.path.join(args.checkpoint_dir, "ckpt"))
-        restored = ckpt.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
-        state = restored
-        print(f"restored step {int(np.asarray(state.step))}")
+    trainer, state = common.restore_float_state(cfg, args.checkpoint_dir)
 
     # DP eval over every available chip (largest device count dividing the
     # eval batch; single-device hosts degrade to a plain jit)
@@ -64,16 +43,12 @@ def main(argv=None) -> None:
     if n == 1:
         mesh = None
     else:
-        print(f"eval mesh: {n}-wide data parallel")
+        import sys
 
-    eval_model = trainer.model
-    if quant != "none":
-        from multipathnet_tpu.models.multipath import build_model
+        print(f"eval mesh: {n}-wide data parallel", file=sys.stderr)
 
-        eval_model = build_model(cfg.model)
-        print(f"head_quant={quant}: quantizing restored checkpoint at load")
-    tester = Tester(eval_model, state.params, cfg, loader, props,
-                    mesh=mesh)
+    tester = Tester(common.eval_model_for(cfg, trainer), state.params, cfg,
+                    loader, props, mesh=mesh)
     metrics = tester.test(max_images=args.max_images or None, verbose=not args.json)
     if args.json:
         print(json.dumps({k: round(v, 5) for k, v in metrics.items()}))

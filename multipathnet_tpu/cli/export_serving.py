@@ -33,24 +33,9 @@ def main(argv=None) -> None:
     cfg = common.build_config(args)
 
     from multipathnet_tpu.eval.serving import save_bundle
-    from multipathnet_tpu.train.loop import Trainer
 
-    # checkpoints are FLOAT trees: restore against a float model regardless
-    # of the requested bundle quantization (save_bundle quantizes at export)
-    import dataclasses
-
-    float_cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, head_quant="none"))
-    trainer = Trainer(float_cfg)
-    state = trainer.init_state()
+    trainer, state = common.restore_float_state(cfg, args.checkpoint_dir)
     if args.checkpoint_dir:
-        from multipathnet_tpu.train.checkpoint import Checkpointer
-
-        ckpt = Checkpointer(os.path.join(args.checkpoint_dir, "ckpt"))
-        restored = ckpt.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.checkpoint_dir}")
-        state = restored
         print(f"exporting step {int(np.asarray(state.step))}")
 
     save_bundle(args.out, cfg, state.params, quant=args.quant)

@@ -148,18 +148,18 @@ class Config:
         come back as the tuples the frozen dataclasses declare."""
         raw = json.loads(text)
 
+        subtrees = {"model": ModelConfig, "data": DataConfig,
+                    "train": TrainConfig, "eval": EvalConfig,
+                    "mesh": MeshConfig}
+
         def build(cls, d):
             kw = {}
             for f in dataclasses.fields(cls):
                 if f.name not in d:
                     continue  # forward-compat: missing field -> default
                 v = d[f.name]
-                if dataclasses.is_dataclass(f.type) or f.name in (
-                        "model", "data", "train", "eval", "mesh"):
-                    sub = {"model": ModelConfig, "data": DataConfig,
-                           "train": TrainConfig, "eval": EvalConfig,
-                           "mesh": MeshConfig}[f.name]
-                    kw[f.name] = build(sub, v)
+                if f.name in subtrees and cls is Config:
+                    kw[f.name] = build(subtrees[f.name], v)
                 elif isinstance(v, list):
                     kw[f.name] = tuple(v)
                 else:

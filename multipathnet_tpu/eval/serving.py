@@ -39,12 +39,20 @@ def save_bundle(path: str, cfg: Config, params, quant: str = "keep") -> None:
         assert quant in ("int8", "none"), quant
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, head_quant=quant))
-    if cfg.model.head_quant == "int8":
-        import jax
+    import jax
 
-        leaves = jax.tree_util.tree_leaves_with_path(params)
-        if not any("kernel_i8" in str(p) for p, _ in leaves):
+    already_quantized = any(
+        "kernel_i8" in str(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(params))
+    if cfg.model.head_quant == "int8":
+        if not already_quantized:
             params = quantize_head_params(params)
+    elif already_quantized:
+        # no dequantize path exists: a float config over int8 params would
+        # only fail at first apply, after deployment — fail at export instead
+        raise ValueError(
+            "params are already int8-quantized but the bundle config says "
+            "head_quant='none'; re-export from the float checkpoint")
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.json"), "w") as f:

@@ -64,8 +64,9 @@ class Int8Dense(nn.Module):
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
         if x_scale is None:
-            x, x_scale = quant.quantize_rows(x)
-        out = quant.matmul_int8(x, x_scale, w_i8, scale, bias)
+            out = quant.dense_int8(x, w_i8, scale, bias)
+        else:
+            out = quant.matmul_int8(x, x_scale, w_i8, scale, bias)
         return out.astype(self.dtype)
 
 

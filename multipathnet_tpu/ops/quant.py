@@ -2,8 +2,8 @@
 
 TPU-native serving optimization with no reference counterpart (the reference
 ran f32 cuDNN end to end — SURVEY.md §2.2 "Conv/FC/softmax stack"): the v5e
-MXU runs int8 x int8 -> int32 at ~2x the bf16 rate (measured 222 vs 143 TF/s
-at head shapes, docs/PERF.md), and the MultiPath head is ~55% of the
+MXU runs int8 x int8 -> int32 at ~2x the bf16 rate (measured 286 vs 171 TF/s
+on the head GEMM stack, docs/PERF.md), and the MultiPath head is ~55% of the
 inference graph (fc6/fc7 x4 foveal branches + the fused cls/bbox GEMM are
 ~7.9 TF of the ~8 TF total at bench shapes). Scheme:
 

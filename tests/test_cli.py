@@ -11,11 +11,15 @@ def workdir(tmp_path_factory):
     return tmp_path_factory.mktemp("cli")
 
 
-@pytest.mark.slow
-def test_train_cli_runs_and_checkpoints(workdir):
+def _ensure_run1(workdir) -> str:
+    """Train the 6-step run1 checkpoint once per module; every consumer
+    (train-assert, eval, demo tests) calls this, so no test depends on
+    another having run first (e.g. under -m 'not slow')."""
+    ckpt_dir = str(workdir / "run1")
+    if os.path.exists(os.path.join(ckpt_dir, "metrics.jsonl")):
+        return ckpt_dir
     from multipathnet_tpu.cli import train as train_cli
 
-    ckpt_dir = str(workdir / "run1")
     train_cli.main([
         "--preset", "tiny", "--synthetic",
         "--dataset-root", str(workdir / "ds"),
@@ -24,6 +28,12 @@ def test_train_cli_runs_and_checkpoints(workdir):
         "--set", "train.checkpoint_every=3",
         "--set", "train.log_every=2",
     ])
+    return ckpt_dir
+
+
+@pytest.mark.slow
+def test_train_cli_runs_and_checkpoints(workdir):
+    ckpt_dir = _ensure_run1(workdir)
     assert os.path.exists(os.path.join(ckpt_dir, "config.json"))
     assert os.path.exists(os.path.join(ckpt_dir, "metrics.jsonl"))
     rows = [json.loads(l) for l in
@@ -37,7 +47,7 @@ def test_train_cli_runs_and_checkpoints(workdir):
 def test_train_cli_resume(workdir):
     from multipathnet_tpu.cli import train as train_cli
 
-    ckpt_dir = str(workdir / "run1")
+    ckpt_dir = _ensure_run1(workdir)
     train_cli.main([
         "--preset", "tiny", "--synthetic",
         "--dataset-root", str(workdir / "ds"),
@@ -57,7 +67,7 @@ def test_eval_cli_with_checkpoint(workdir, capsys):
     eval_cli.main([
         "--preset", "tiny", "--synthetic",
         "--dataset-root", str(workdir / "ds"),
-        "--checkpoint-dir", str(workdir / "run1"),
+        "--checkpoint-dir", _ensure_run1(workdir),
         "--json",
     ])
     out = capsys.readouterr().out.strip().splitlines()[-1]
@@ -76,7 +86,7 @@ def test_eval_cli_int8_serving_config(workdir, capsys):
         eval_cli.main([
             "--preset", "tiny", "--synthetic",
             "--dataset-root", str(workdir / "ds"),
-            "--checkpoint-dir", str(workdir / "run1"),
+            "--checkpoint-dir", _ensure_run1(workdir),
             "--set", f"model.head_quant={hq}",
             "--json",
         ])
@@ -100,7 +110,7 @@ def test_demo_cli_writes_image(workdir):
     demo_cli.main([
         "--preset", "tiny", "--synthetic",
         "--dataset-root", str(workdir / "ds"),
-        "--checkpoint-dir", str(workdir / "run1"),
+        "--checkpoint-dir", _ensure_run1(workdir),
         "--index", "1", "--output", out_path,
         "--score-threshold", "0.0",
     ])
@@ -188,13 +198,13 @@ def test_export_proposals_cli_and_override(workdir, capsys):
         "--preset", "tiny", "--synthetic",
         "--dataset-root", str(workdir / "ds"),
         "--proposals", out_npz,
-        "--checkpoint-dir", str(workdir / "run1"), "--json",
+        "--checkpoint-dir", _ensure_run1(workdir), "--json",
     ])
     m_gen = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     eval_cli.main([
         "--preset", "tiny", "--synthetic",
         "--dataset-root", str(workdir / "ds"),
-        "--checkpoint-dir", str(workdir / "run1"), "--json",
+        "--checkpoint-dir", _ensure_run1(workdir), "--json",
     ])
     m_file = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m_gen != m_file  # different proposal sources -> different APs

@@ -22,7 +22,7 @@ RNG = np.random.default_rng(11)
 
 def test_quantize_weight_roundtrip():
     w = jnp.asarray(RNG.standard_normal((96, 40)) * 0.07, jnp.float32)
-    w_i8, scale = quantize = quant.quantize_weight(w)
+    w_i8, scale = quant.quantize_weight(w)
     assert w_i8.dtype == jnp.int8 and scale.shape == (40,)
     # symmetric per-column: reconstruction error bounded by scale/2 per elem
     rec = w_i8.astype(jnp.float32) * scale[None, :]

@@ -80,6 +80,17 @@ def test_bundle_roundtrip_matches_live_detector(tmp_path, quant):
         np.testing.assert_array_equal(live[k], loaded[k], err_msg=k)
 
 
+def test_save_bundle_rejects_float_config_over_int8_params(tmp_path):
+    """No dequantize path exists — exporting int8 params under a float
+    config must fail AT EXPORT, not at first apply after deployment."""
+    from multipathnet_tpu.ops import quant
+
+    cfg, params = _tiny_setup(head_quant="int8")
+    qparams = quant.quantize_head_params(params)
+    with pytest.raises(ValueError, match="re-export"):
+        save_bundle(str(tmp_path / "bad"), cfg, qparams, quant="none")
+
+
 def test_export_serving_cli_random_init(tmp_path, capsys):
     """CLI smoke test: random init (no ckpt) exports a loadable bundle."""
     from multipathnet_tpu.cli import export_serving
