@@ -18,7 +18,7 @@ from typing import Any, Tuple
 class ModelConfig:
     """Architecture knobs (MultiPath paper §3; Fast R-CNN §2)."""
 
-    backbone: str = "vgg16"  # vgg16 | resnet18 | resnet50 | alexnet
+    backbone: str = "vgg16"  # vgg16 | resnet18 | resnet50 | resnet101 | alexnet
     num_classes: int = 81  # 80 COCO categories + background (index 0)
     # Foveal context scales (MultiPath §3.1). () => plain Fast R-CNN head.
     foveal_scales: Tuple[float, ...] = (1.0, 1.5, 2.0, 4.0)

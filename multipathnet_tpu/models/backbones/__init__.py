@@ -6,13 +6,15 @@ compute, f32 params (DESIGN.md conventions).
 """
 
 from multipathnet_tpu.models.backbones.vgg import VGG16
-from multipathnet_tpu.models.backbones.resnet import ResNet, ResNet18, ResNet50
+from multipathnet_tpu.models.backbones.resnet import (ResNet, ResNet18,
+                                                      ResNet50, ResNet101)
 from multipathnet_tpu.models.backbones.small import TinyNet, AlexNetLike
 
 REGISTRY = {
     "vgg16": VGG16,
     "resnet18": ResNet18,
     "resnet50": ResNet50,
+    "resnet101": ResNet101,
     "alexnet": AlexNetLike,
     "tinynet": TinyNet,
 }

@@ -135,3 +135,10 @@ def ResNet18(dtype=jnp.bfloat16, freeze_stages=0):
 def ResNet50(dtype=jnp.bfloat16, freeze_stages=0):
     return ResNet(stage_sizes=(3, 4, 6), block=BottleneckBlock, dtype=dtype,
                   freeze_stages=freeze_stages)
+
+
+def ResNet101(dtype=jnp.bfloat16, freeze_stages=0):
+    # (3, 4, 23): torchvision resnet101's layer1-3; layer4 (/32) is past the
+    # detection trunk boundary, as for the other depths
+    return ResNet(stage_sizes=(3, 4, 23), block=BottleneckBlock, dtype=dtype,
+                  freeze_stages=freeze_stages)

@@ -158,9 +158,20 @@ def load_resnet18_npz(path: str) -> tuple:
     return resnet18_params_from_state_dict({k: z[k] for k in z.files})
 
 
+def resnet101_params_from_state_dict(state: dict) -> tuple:
+    """torchvision-style resnet101 state dict (bottleneck blocks) -> flax
+    variables for models.backbones.resnet.ResNet101."""
+    return _resnet_params_from_state_dict(state, (3, 4, 23))
+
+
 def load_resnet50_npz(path: str) -> tuple:
     z = np.load(path)
     return resnet50_params_from_state_dict({k: z[k] for k in z.files})
+
+
+def load_resnet101_npz(path: str) -> tuple:
+    z = np.load(path)
+    return resnet101_params_from_state_dict({k: z[k] for k in z.files})
 
 
 def install_backbone_variables(variables: dict, backbone_params: dict,

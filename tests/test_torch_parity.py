@@ -206,9 +206,10 @@ def test_resnet18_trunk_parity():
                                    atol=2e-4, rtol=2e-4)
 
 
-def build_torch_resnet50_trunk():
-    """torchvision resnet50 minus layer4/avgpool/fc (bottleneck blocks;
-    torchvision itself is not installed — key layout mirrors it)."""
+def build_torch_resnet50_trunk(layers=(3, 4, 6)):
+    """torchvision resnet50/101 minus layer4/avgpool/fc (bottleneck blocks;
+    torchvision itself is not installed — key layout mirrors it). `layers`
+    selects the depth: (3,4,6)=resnet50, (3,4,23)=resnet101."""
     import torch.nn as tnn
 
     class Bottleneck(tnn.Module):
@@ -234,21 +235,20 @@ def build_torch_resnet50_trunk():
             y = self.bn3(self.conv3(y))
             return torch.relu(idn + y)
 
+    def stage(cin, width, n, stride):
+        blocks = [Bottleneck(cin, width, stride)]
+        blocks += [Bottleneck(width * 4, width) for _ in range(n - 1)]
+        return tnn.Sequential(*blocks)
+
     class Trunk(tnn.Module):
         def __init__(self):
             super().__init__()
             self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
             self.bn1 = tnn.BatchNorm2d(64)
             self.maxpool = tnn.MaxPool2d(3, 2, 1)
-            self.layer1 = tnn.Sequential(
-                Bottleneck(64, 64), Bottleneck(256, 64), Bottleneck(256, 64))
-            self.layer2 = tnn.Sequential(
-                Bottleneck(256, 128, 2), Bottleneck(512, 128),
-                Bottleneck(512, 128), Bottleneck(512, 128))
-            self.layer3 = tnn.Sequential(
-                Bottleneck(512, 256, 2), Bottleneck(1024, 256),
-                Bottleneck(1024, 256), Bottleneck(1024, 256),
-                Bottleneck(1024, 256), Bottleneck(1024, 256))
+            self.layer1 = stage(64, 64, layers[0], 1)
+            self.layer2 = stage(256, 128, layers[1], 2)
+            self.layer3 = stage(512, 256, layers[2], 2)
 
         def forward(self, x):
             x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
@@ -260,14 +260,18 @@ def build_torch_resnet50_trunk():
     return Trunk()
 
 
-def test_resnet50_trunk_parity():
-    """ResNet-50 import contract (bottleneck blocks: conv1..3 -> Conv_0..2,
-    downsample -> Conv_3): c3/c4/c5 match torch eval-mode forward."""
+@pytest.mark.parametrize("depth", [50, 101])
+def test_resnet_bottleneck_trunk_parity(depth):
+    """ResNet-50/101 import contract (bottleneck blocks: conv1..3 ->
+    Conv_0..2, downsample -> Conv_3): c3/c4/c5 match torch eval-mode
+    forward. 101 exercises the deep (3,4,23) stage map through the same
+    generic mapper."""
     from multipathnet_tpu.models import import_weights as IW
-    from multipathnet_tpu.models.backbones.resnet import ResNet50
+    from multipathnet_tpu.models.backbones.resnet import ResNet50, ResNet101
 
+    layers = (3, 4, 6) if depth == 50 else (3, 4, 23)
     torch.manual_seed(0)
-    tm = build_torch_resnet50_trunk()
+    tm = build_torch_resnet50_trunk(layers)
     with torch.no_grad():
         for m in tm.modules():
             if isinstance(m, torch.nn.BatchNorm2d):
@@ -276,9 +280,11 @@ def test_resnet50_trunk_parity():
     tm.eval()
 
     state = {k: v.numpy() for k, v in tm.state_dict().items()}
-    params, stats = IW.resnet50_params_from_state_dict(state)
+    mapper = (IW.resnet50_params_from_state_dict if depth == 50
+              else IW.resnet101_params_from_state_dict)
+    params, stats = mapper(state)
 
-    model = ResNet50(dtype=jnp.float32)
+    model = (ResNet50 if depth == 50 else ResNet101)(dtype=jnp.float32)
     x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(
         np.float32)
     variables = model.init(__import__("jax").random.key(0), jnp.asarray(x))
