@@ -39,6 +39,8 @@ def main() -> None:
     p.add_argument("--canvas", type=int, default=640)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--preset", default="multipath_vgg16_int8")
+    p.add_argument("--backbone", default="",
+                   help="override cfg.model.backbone (e.g. resnet101)")
     args = p.parse_args()
 
     import dataclasses
@@ -63,6 +65,9 @@ def main() -> None:
                                  image_size=(args.canvas, args.canvas),
                                  max_proposals=args.proposals),
     )
+    if args.backbone:
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, backbone=args.backbone))
     model = build_model(cfg.model)
 
     rng = np.random.default_rng(0)
