@@ -90,14 +90,32 @@ class SharpMaskNet(nn.Module):
 
     # -- mask decoding for given rois ----------------------------------------
     def decode_masks(self, feats: dict, rois: jnp.ndarray,
-                     image_hw) -> jnp.ndarray:
-        """feats from dense(); rois (B, K, 4) -> mask logits (B, K, M, M)."""
+                     image_hw, impl: str = "pyramid") -> jnp.ndarray:
+        """feats from dense(); rois (B, K, 4) -> mask logits (B, K, M, M).
+
+        impl="pyramid" (eval default): windowed-pyramid pooling — the 28x28
+        fine-feature crop through the direct gather measured 163.5 ms for
+        3200 ROIs on the v5e vs 27.5 ms through the pyramid (docs/PERF.md
+        config-5 section); same roi_align math at pyramid-level granularity
+        (closeness pinned by tests/test_sharpmask.py). Training passes
+        "direct" — exact gradients, and the vmapped pyramid-slice backward
+        compiles pathologically (same reason the detector's pool_rois pins
+        direct for training)."""
         m = self.mask_size
         b, k = rois.shape[:2]
         stride_neck = image_hw[0] // feats["neck"].shape[1]
         stride_c3 = image_hw[0] // feats["c3"].shape[1]
 
         def pool(fmap, r_b, stride, size):
+            if impl == "pyramid":
+                from multipathnet_tpu.ops import roi_pyramid as RP
+
+                def one(f, r):
+                    pyr = RP.build_pyramid(f, 1.0 / stride, output_size=size)
+                    return RP.pyramid_roi_align(pyr, r, output_size=size,
+                                                samples_per_bin=1)
+
+                return jax.vmap(one)(fmap, r_b)
             return jax.vmap(lambda f, r: roi_ops.roi_align(
                 f, r, output_size=size, spatial_scale=1.0 / stride,
                 samples_per_bin=1))(fmap, r_b)
@@ -119,7 +137,8 @@ class SharpMaskNet(nn.Module):
                  train: bool = False):
         """Training contract: dense heads everywhere + masks for given rois."""
         anchors, scores, deltas, feats = self.dense(images, train=train)
-        masks = self.decode_masks(feats, rois, images.shape[1:3])
+        masks = self.decode_masks(feats, rois, images.shape[1:3],
+                                  impl="direct" if train else "pyramid")
         return anchors, scores, deltas, masks
 
 

@@ -72,6 +72,35 @@ def test_forward_and_generate_shapes(setup):
     assert np.all((s >= 0) & (s <= 1))
 
 
+def test_decode_masks_pyramid_matches_direct(setup):
+    """The eval mask decoder pools fine features through the windowed
+    pyramid (6x faster on the v5e — PERF.md config-5); training keeps the
+    direct gather. Same roi_align math at pyramid granularity: mask logits
+    must agree closely, and post-sigmoid masks near-identically."""
+    from multipathnet_tpu.models.sharpmask import SharpMaskNet
+
+    cfg, trainer, pipe, loader = setup
+    state = trainer.init_state()
+    model = trainer.model
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    x1 = rng.uniform(0, 30, (2, 8)).astype(np.float32)
+    y1 = rng.uniform(0, 30, (2, 8)).astype(np.float32)
+    w = rng.uniform(8, 30, (2, 8)).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + w], -1))
+
+    _, _, _, feats = model.apply(state.params, images,
+                                 method=SharpMaskNet.dense)
+    outs = {impl: np.asarray(model.apply(
+        state.params, feats, rois, (64, 64), impl=impl,
+        method=SharpMaskNet.decode_masks)) for impl in ("direct", "pyramid")}
+    logit_err = np.abs(outs["pyramid"] - outs["direct"]).mean()
+    logit_mag = np.abs(outs["direct"]).mean() + 1e-9
+    assert logit_err / logit_mag < 0.2, (logit_err, logit_mag)
+    probs = {k: 1 / (1 + np.exp(-v)) for k, v in outs.items()}
+    assert np.abs(probs["pyramid"] - probs["direct"]).mean() < 0.02
+
+
 @pytest.fixture(scope="module")
 def trained_proposal_state(setup):
     """30-epoch proposal-net overfit, shared by the slow tests below
