@@ -56,6 +56,16 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
     Mirrors roi_pyramid._one_roi exactly (shared constants, tested equal).
     """
     g, s = output_size, samples_per_bin
+    # the (0.5, 1]-cell level rule puts g bins + bilinear halo in g+3 rows;
+    # WINDOW/WINDOW_X are sized for g=7 (10x16). A larger g would SILENTLY
+    # clip samples into the window (measured: g=28 gives max|err|=7.1 vs the
+    # XLA pyramid, while running 2x faster — generalizing the window sizes
+    # through all kernels is deliberately deferred; large-g callers use the
+    # XLA pyramid path, docs/PERF.md config-5 section).
+    assert g + 3 <= WINDOW, (
+        f"output_size={g} exceeds the kernels' window geometry "
+        f"(WINDOW={WINDOW} fits g<={WINDOW - 3}); use the roi_pyramid XLA "
+        f"path for large outputs")
     f32 = jnp.float32
     b = rois.astype(f32) * pyr.base_scale
     x1, y1 = b[:, 0], b[:, 1]
