@@ -103,6 +103,41 @@ def test_eval_dp_sharding_matches_single_device(data):
     np.testing.assert_allclose(boxes_4, boxes_1, atol=1e-3)
 
 
+def test_eval_dp_sharding_int8_matches_single_device(data):
+    """The int8 SERVING graph partitions over the data mesh identically:
+    per-row activation scales are per-ROI (batch-local), weight scales are
+    replicated params — nothing in ops/quant.py crosses the batch axis, so
+    DP must be exact. Pins the serving config x DP-eval combination."""
+    import dataclasses
+
+    from multipathnet_tpu.eval.detect import score_batch
+    from multipathnet_tpu.models.multipath import build_model
+    from multipathnet_tpu.ops.quant import quantize_head_params
+
+    cfg, batch = data
+    qcfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                 head_quant="int8"))
+    fmodel = build_model(cfg.model)
+    qmodel = build_model(qcfg.model)
+    params = fmodel.init(jax.random.key(0),
+                         jnp.zeros((1, *cfg.data.image_size, 3)),
+                         jnp.zeros((1, 1, 4)))
+    qparams = quantize_head_params(params)
+    args = (jnp.asarray(batch.images), jnp.asarray(batch.src_hws),
+            jnp.asarray(batch.proposals))
+    f = jax.jit(lambda p, im, hw, pr: score_batch(p, qmodel, qcfg,
+                                                  im, hw, pr))
+    boxes_1, probs_1 = jax.tree.map(np.asarray, f(qparams, *args))
+
+    mesh = make_mesh(n_data=4)
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    args_s = tuple(jax.device_put(a, shard) for a in args)
+    params_r = jax.device_put(qparams, NamedSharding(mesh, P()))
+    boxes_4, probs_4 = jax.tree.map(np.asarray, f(params_r, *args_s))
+    np.testing.assert_allclose(probs_4, probs_1, atol=1e-5)
+    np.testing.assert_allclose(boxes_4, boxes_1, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_eval_proposal_axis_sharding_matches(data):
     """SURVEY.md §2.3 SP row: the structural analog of sequence parallelism
