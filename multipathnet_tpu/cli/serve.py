@@ -63,17 +63,20 @@ class DetectionService:
     def warmup(self) -> float:
         np = self.np
         t0 = time.time()
-        self(np.zeros((1, 16, 16, 3), np.uint8)[..., :3],
-             [[[0.0, 0.0, 8.0, 8.0]]])
+        self(np.zeros((1, 16, 16, 3), np.uint8), [[[0.0, 0.0, 8.0, 8.0]]])
         return time.time() - t0
 
     def __call__(self, images, proposals_per_image):
         """images: list/array of HxWx3 uint8 (H, W <= canvas); proposals:
-        list of (Pi, 4) float lists. Pads to the compiled (batch, canvas,
-        max_proposals) shapes; splits requests larger than the batch."""
+        list of (Pi <= max_proposals, 4) float lists. Pads to the compiled
+        (batch, canvas, max_proposals) shapes; splits requests larger than
+        the batch. Raises ValueError (-> HTTP 400) on inputs exceeding the
+        compiled shapes — never silently truncates."""
         np = self.np
         n = len(images)
-        assert n == len(proposals_per_image), "images/proposals mismatch"
+        if n != len(proposals_per_image):
+            raise ValueError(f"{n} images but "
+                             f"{len(proposals_per_image)} proposal lists")
         ch, cw = self.canvas
         out = []
         for lo in range(0, n, self.batch):
@@ -86,13 +89,19 @@ class DetectionService:
             for i in range(k):
                 im = np.asarray(images[lo + i], np.uint8)
                 h, w = im.shape[:2]
-                assert h <= ch and w <= cw, (
-                    f"image {h}x{w} exceeds serving canvas {ch}x{cw}")
+                if h > ch or w > cw:
+                    raise ValueError(
+                        f"image {h}x{w} exceeds serving canvas {ch}x{cw}")
                 imgs[i, :h, :w] = im
                 hws[i] = (h, w)
                 p = np.asarray(proposals_per_image[lo + i],
                                np.float32).reshape(-1, 4)
-                p = p[:self.max_proposals]
+                if len(p) > self.max_proposals:
+                    raise ValueError(
+                        f"{len(p)} proposals exceed the bundle's "
+                        f"max_proposals={self.max_proposals}; re-export the "
+                        f"bundle with a larger data.max_proposals or send "
+                        f"the top-{self.max_proposals}")
                 props[i, :len(p)] = p
                 mask[i, :len(p)] = True
             res = self.detector(imgs, hws, props, mask)

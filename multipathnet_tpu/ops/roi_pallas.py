@@ -57,15 +57,14 @@ def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
     """
     g, s = output_size, samples_per_bin
     # the (0.5, 1]-cell level rule puts g bins + bilinear halo in g+3 rows;
-    # WINDOW/WINDOW_X are sized for g=7 (10x16). A larger g would SILENTLY
-    # clip samples into the window (measured: g=28 gives max|err|=7.1 vs the
-    # XLA pyramid, while running 2x faster — generalizing the window sizes
-    # through all kernels is deliberately deferred; large-g callers use the
-    # XLA pyramid path, docs/PERF.md config-5 section).
+    # these kernels are hard-tuned to g=7 (10x16 windows). A larger g would
+    # SILENTLY clip samples into the window; roi_pyramid's XLA path sizes
+    # its window per output_size (roi_pyramid.window_sizes, r3) and is the
+    # supported route for large outputs (the 28x28 mask decoder).
     assert g + 3 <= WINDOW, (
         f"output_size={g} exceeds the kernels' window geometry "
         f"(WINDOW={WINDOW} fits g<={WINDOW - 3}); use the roi_pyramid XLA "
-        f"path for large outputs")
+        f"path, which sizes its window per output_size")
     f32 = jnp.float32
     b = rois.astype(f32) * pyr.base_scale
     x1, y1 = b[:, 0], b[:, 1]

@@ -42,13 +42,26 @@ from jax import lax
 
 # Pyramid scale rule: each (ROI, foveal) view picks the scale where its bins
 # span (0.5, 1] cell — samples are then spaced <= 0.5 cells (S=2), i.e. dense
-# area sampling of the pooled map. The 7-bin sampling extent is <= 6.5 cells
-# + 1 fractional + 1 bilinear neighbor, so:
-WINDOW = 10   # y-window rows (no alignment constraint on the leading dim)
-# x-window: HBM DMA slices must start 8-aligned on the sublane dim, so x0 is
-# aligned down to 8 (up to 7 slack cells) and 16 columns are read
-# (8.5 + 7 < 16). Pyramid buffers are padded accordingly.
-WINDOW_X = 16
+# area sampling of the pooled map. The G-bin sampling extent is <= G - 0.5
+# cells + 1 fractional start + 1 bilinear neighbor, so the window is
+# G-DEPENDENT (r3 fix: the constants below were silently applied to every
+# output size, clipping any G > 7 — e.g. the 28x28 mask decoder — into a
+# 10-row window):
+
+
+def window_sizes(output_size: int) -> tuple:
+    """-> (rows, cols) of the sampling window for a G-bin view.
+
+    rows: G + 3 (G=7 -> 10, the tuned detector window). cols: + up to 7
+    alignment-slack cells (the Pallas twin 8-aligns the window origin down;
+    this XLA path shares the geometry so the two stay testably equal),
+    rounded up to a multiple of 8 (G=7 -> 16)."""
+    return output_size + 3, -(-(output_size + 9) // 8) * 8
+
+
+# The G=7 instances — the detector geometry the Pallas kernels
+# (ops/roi_pallas.py) are hard-tuned to; they assert G <= 7 and share these.
+WINDOW, WINDOW_X = window_sizes(7)
 # History: the first kernel used bins in (1, 2] with 16x24 windows; the
 # (0.5, 1] rule cuts window DMA traffic 2.4x for identical output structure
 # (docs/PERF.md) at the cost of one extra pyramid scale.
@@ -88,8 +101,9 @@ def build_pyramid(feat: jnp.ndarray, spatial_scale: float,
     h, w, c = feat.shape
     if num_scales is None:
         num_scales = num_scales_for(h, w, output_size)
-    wmax = max(-(-w // 8) * 8, WINDOW_X)
-    min_rows = max(WINDOW, 1)
+    win_y, win_x = window_sizes(output_size)
+    wmax = max(-(-w // 8) * 8, win_x)
+    min_rows = max(win_y, 1)
     pad_val = 0.0 if mode == "avg" else _NEG
     levels, heights, widths = [], [], []
     cur = feat
@@ -175,19 +189,20 @@ def _one_roi(pyr: Pyramid, roi: jnp.ndarray, g: int, s: int, mode: str):
     sy = jnp.clip((y1 + off * bh / g) / cell, 0.0, hl - 1.0)
     sx = jnp.clip((x1 + off * bw / g) / cell, 0.0, wl - 1.0)
 
+    win_y, win_x = window_sizes(g)
     y0 = jnp.clip(jnp.floor(sy[0]).astype(jnp.int32), 0,
-                  jnp.maximum(pyr.heights[lvl] - WINDOW, 0))
+                  jnp.maximum(pyr.heights[lvl] - win_y, 0))
     x0 = jnp.clip(jnp.floor(sx[0]).astype(jnp.int32), 0,
-                  jnp.maximum(pyr.widths[lvl] - WINDOW_X, 0))
+                  jnp.maximum(pyr.widths[lvl] - win_x, 0))
 
-    wy = _sample_weights(jnp.clip(sy - y0.astype(f32), 0.0, WINDOW - 1.0),
-                         WINDOW)
-    wx = _sample_weights(jnp.clip(sx - x0.astype(f32), 0.0, WINDOW_X - 1.0),
-                         WINDOW_X)
+    wy = _sample_weights(jnp.clip(sy - y0.astype(f32), 0.0, win_y - 1.0),
+                         win_y)
+    wx = _sample_weights(jnp.clip(sx - x0.astype(f32), 0.0, win_x - 1.0),
+                         win_x)
 
     row = pyr.row_offsets[lvl] + y0
     win = lax.dynamic_slice(
-        pyr.flat, (row, x0, 0), (WINDOW, WINDOW_X, pyr.flat.shape[-1]))
+        pyr.flat, (row, x0, 0), (win_y, win_x, pyr.flat.shape[-1]))
     win = win.astype(f32)
 
     # V[i, j, c] = sum_y sum_x wy[i,y] win[y,x,c] wx[j,x]
@@ -243,21 +258,22 @@ def _one_roi_max(pyr: Pyramid, roi: jnp.ndarray, g: int):
     xs = jnp.clip(jnp.floor(x1 + bins * roi_w / g), 0, wl)
     xe = jnp.clip(jnp.ceil(x1 + (bins + 1) * roi_w / g), 0, wl)
 
+    win_y, win_x = window_sizes(g)
     y0 = jnp.clip(y1.astype(jnp.int32), 0,
-                  jnp.maximum(pyr.heights[lvl] - WINDOW, 0))
+                  jnp.maximum(pyr.heights[lvl] - win_y, 0))
     x0 = jnp.clip(x1.astype(jnp.int32), 0,
-                  jnp.maximum(pyr.widths[lvl] - WINDOW_X, 0))
+                  jnp.maximum(pyr.widths[lvl] - win_x, 0))
 
-    # window-cell membership masks: (G, WINDOW) / (G, WINDOW_X)
-    wy_cells = (y0 + jnp.arange(WINDOW, dtype=jnp.int32)).astype(f32)
-    wx_cells = (x0 + jnp.arange(WINDOW_X, dtype=jnp.int32)).astype(f32)
+    # window-cell membership masks: (G, win_y) / (G, win_x)
+    wy_cells = (y0 + jnp.arange(win_y, dtype=jnp.int32)).astype(f32)
+    wx_cells = (x0 + jnp.arange(win_x, dtype=jnp.int32)).astype(f32)
     my = (wy_cells[None, :] >= ys[:, None]) & (wy_cells[None, :] < ye[:, None])
     mx = (wx_cells[None, :] >= xs[:, None]) & (wx_cells[None, :] < xe[:, None])
 
     row = pyr.row_offsets[lvl] + y0
     win = lax.dynamic_slice(
         pyr.flat, (row, x0, 0),
-        (WINDOW, WINDOW_X, pyr.flat.shape[-1])).astype(f32)
+        (win_y, win_x, pyr.flat.shape[-1])).astype(f32)
 
     # two-stage masked max: rows into bins, then cols into bins
     t = jnp.max(jnp.where(my[:, :, None, None], win[None], _NEG),

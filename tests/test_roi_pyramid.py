@@ -31,6 +31,44 @@ def test_level0_matches_roi_align_exactly():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_large_output_size_level0_matches_roi_align():
+    """G=28 (the mask decoder's output) through the G-dependent window
+    (window_sizes, r3): level-0 ROIs must match direct roi_align exactly.
+    Regression test for the silent 10-row-window clipping that corrupted
+    every mask whose ROI spanned more than ~10 cells."""
+    feat = make_feat(64, 64, 8)
+    scale = 1 / 4.0
+    pyr = RP.build_pyramid(feat, scale, output_size=28)
+    assert pyr.flat.shape[1] >= RP.window_sizes(28)[1]
+    # bins span <= 1 cell at level 0: roi size <= 28 cells = 112 px —
+    # far beyond the old fixed 10-row window
+    x1 = RNG.uniform(0, 120, 20).astype(np.float32)
+    y1 = RNG.uniform(0, 120, 20).astype(np.float32)
+    w = RNG.uniform(40, 110, 20).astype(np.float32)
+    h = RNG.uniform(40, 110, 20).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1))
+    got = RP.pyramid_roi_align(pyr, rois, output_size=28, samples_per_bin=1)
+    want = R.roi_align(feat, rois, output_size=28, spatial_scale=scale,
+                       samples_per_bin=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_large_output_size_pooled_level_exact_oracle():
+    """G=28 ROIs past level 0 must equal roi_align on the equivalently
+    avg-pooled map (the same exact-oracle property the G=7 path pins in
+    test_large_roi_uses_pooled_level) — under the r3 window bug this read
+    window-edge clamping noise instead."""
+    feat = make_feat(64, 64, 8)
+    pyr = RP.build_pyramid(feat, 1.0, output_size=28)
+    roi = jnp.asarray([[0.0, 0.0, 56.0, 56.0]])  # 2 cells/bin -> level 1
+    got = RP.pyramid_roi_align(pyr, roi, output_size=28, samples_per_bin=1)
+    pooled1 = feat.reshape(32, 2, 32, 2, 8).mean(axis=(1, 3))
+    want = R.roi_align(pooled1, roi / 2.0, output_size=28, spatial_scale=1.0,
+                       samples_per_bin=1)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=2e-5)
+
+
 def test_large_roi_uses_pooled_level():
     """A full-map ROI must select a coarse level and equal roi_align on the
     equivalently avg-pooled map."""

@@ -57,11 +57,16 @@ def test_service_pads_and_splits(bundle):
         assert b[2] <= 40.0 + 1e-3 and b[3] <= 32.0 + 1e-3
 
 
-def test_service_rejects_oversized_image(bundle):
+def test_service_rejects_oversized_inputs(bundle):
     svc = DetectionService(bundle)
     images = [RNG.integers(0, 255, (100, 100, 3)).astype(np.uint8)]
-    with pytest.raises(AssertionError, match="exceeds serving canvas"):
+    with pytest.raises(ValueError, match="exceeds serving canvas"):
         svc(images, [[[0.0, 0.0, 8.0, 8.0]]])
+    ok = [RNG.integers(0, 255, (32, 32, 3)).astype(np.uint8)]
+    with pytest.raises(ValueError, match="max_proposals"):
+        svc(ok, [[[0.0, 0.0, 8.0, 8.0]] * 33])  # bundle compiled for 32
+    with pytest.raises(ValueError, match="proposal lists"):
+        svc(ok, [])
 
 
 def test_http_endpoints(bundle):

@@ -75,28 +75,52 @@ def test_forward_and_generate_shapes(setup):
 def test_decode_masks_pyramid_matches_direct(setup):
     """The eval mask decoder pools fine features through the windowed
     pyramid (6x faster on the v5e — PERF.md config-5); training keeps the
-    direct gather. Same roi_align math at pyramid granularity: mask logits
-    must agree closely, and post-sigmoid masks near-identically."""
+    direct gather. ROIs here span up to the full 128-px image — i.e. well
+    past the detector's 10-row window — because the r3 silent-clipping bug
+    (fixed by roi_pyramid.window_sizes) corrupted exactly the large-ROI
+    masks while a small-ROI comparison stayed green. Level-0 ROIs (<= 28
+    fine cells) must be near-exact; the larger ones stay strongly
+    correlated (area-vs-point sampling is the only remaining difference)."""
     from multipathnet_tpu.models.sharpmask import SharpMaskNet
 
     cfg, trainer, pipe, loader = setup
     state = trainer.init_state()
     model = trainer.model
     rng = np.random.default_rng(3)
-    images = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
-    x1 = rng.uniform(0, 30, (2, 8)).astype(np.float32)
-    y1 = rng.uniform(0, 30, (2, 8)).astype(np.float32)
-    w = rng.uniform(8, 30, (2, 8)).astype(np.float32)
+    s = 128
+    images = jnp.asarray(rng.uniform(0, 1, (2, s, s, 3)), jnp.float32)
+    # first 6 ROIs: 40-100 px (level 0 at stride 4, up to 25 cells);
+    # last 2: 114-126 px (past level 0)
+    x1 = np.concatenate([rng.uniform(0, 20, (2, 6)),
+                         rng.uniform(0, 2, (2, 2))], axis=1).astype(np.float32)
+    y1 = np.concatenate([rng.uniform(0, 20, (2, 6)),
+                         rng.uniform(0, 2, (2, 2))], axis=1).astype(np.float32)
+    w = np.concatenate([rng.uniform(40, 100, (2, 6)),
+                        rng.uniform(114, 125, (2, 2))],
+                       axis=1).astype(np.float32)
     rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + w], -1))
 
     _, _, _, feats = model.apply(state.params, images,
                                  method=SharpMaskNet.dense)
     outs = {impl: np.asarray(model.apply(
-        state.params, feats, rois, (64, 64), impl=impl,
+        state.params, feats, rois, (s, s), impl=impl,
         method=SharpMaskNet.decode_masks)) for impl in ("direct", "pyramid")}
-    logit_err = np.abs(outs["pyramid"] - outs["direct"]).mean()
-    logit_mag = np.abs(outs["direct"]).mean() + 1e-9
-    assert logit_err / logit_mag < 0.2, (logit_err, logit_mag)
+    # level-0 subset: identical pooling math -> tight logit agreement
+    d0, p0 = outs["direct"][:, :6], outs["pyramid"][:, :6]
+    np.testing.assert_allclose(p0, d0, atol=5e-2, rtol=0)
+    # mean bound sits just above bf16 rounding-order noise through the
+    # conv heads (measured 0.0052 with the fixed window; the r3 clipping
+    # bug would blow this to ~0.1+)
+    assert np.abs(p0 - d0).mean() < 1e-2, np.abs(p0 - d0).mean()
+    # large ROIs: legitimate approximation regime — anti-aliased area
+    # sampling vs point sampling decorrelates on these noise-like
+    # random-init features (measured corr 0.78; trained features are
+    # smooth). The EXACT contract for this regime (pyramid == roi_align on
+    # the 2^l-pooled map) is pinned in tests/test_roi_pyramid.py at g=28;
+    # here we only require it not degrade to clipping garbage.
+    dl, pl_ = outs["direct"][:, 6:], outs["pyramid"][:, 6:]
+    corr = np.corrcoef(pl_.ravel(), dl.ravel())[0, 1]
+    assert corr > 0.6, corr
     probs = {k: 1 / (1 + np.exp(-v)) for k, v in outs.items()}
     assert np.abs(probs["pyramid"] - probs["direct"]).mean() < 0.02
 
