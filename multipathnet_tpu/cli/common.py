@@ -151,9 +151,12 @@ def restore_float_state(cfg: Config, checkpoint_dir: str = "",
     from multipathnet_tpu.train.loop import Trainer
 
     float_cfg = cfg
-    if cfg.model.head_quant != "none":
+    if (cfg.model.head_quant != "none" or cfg.model.fc6_rank
+            or cfg.model.fc7_rank):
+        # checkpoints are full-rank float: strip serving transforms (int8 /
+        # truncated SVD) for the restore shape; consumers re-apply them
         float_cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, head_quant="none"))
+            cfg.model, head_quant="none", fc6_rank=0, fc7_rank=0))
     trainer = Trainer(float_cfg)
     state = trainer.init_state()
     if checkpoint_dir:

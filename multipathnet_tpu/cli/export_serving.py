@@ -28,9 +28,23 @@ def main(argv=None) -> None:
     p.add_argument("--out", required=True, help="bundle output directory")
     p.add_argument("--quant", default="int8", choices=("int8", "none"),
                    help="head quantization of the exported bundle")
+    p.add_argument("--svd-fc6", type=int, default=-1, metavar="RANK",
+                   help="truncated-SVD rank for fc6 (Fast R-CNN §3.1; "
+                        "0 = full rank; default: the preset's fc6_rank)")
+    p.add_argument("--svd-fc7", type=int, default=-1, metavar="RANK",
+                   help="truncated-SVD rank for fc7 (0 = full rank; "
+                        "default: the preset's fc7_rank)")
     args = p.parse_args(argv)
 
     cfg = common.build_config(args)
+    if args.svd_fc6 >= 0 or args.svd_fc7 >= 0:
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model,
+            fc6_rank=args.svd_fc6 if args.svd_fc6 >= 0 else cfg.model.fc6_rank,
+            fc7_rank=args.svd_fc7 if args.svd_fc7 >= 0 else cfg.model.fc7_rank,
+        ))
 
     from multipathnet_tpu.eval.serving import save_bundle
 

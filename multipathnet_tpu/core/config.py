@@ -68,6 +68,12 @@ class ModelConfig:
     # ~2x the bf16 GEMM rate on v5e — ops/quant.py). Inference-only; load a
     # float checkpoint through ops.quant.quantize_head_params first.
     head_quant: str = "none"
+    # Truncated-SVD FC compression for SERVING (Fast R-CNN §3.1 "Truncated
+    # SVD for faster detection"; ops/lowrank.py): rank t > 0 factors that FC
+    # family into (in -> t) + (t -> fc_dim) GEMMs at load/export time.
+    # Composes with head_quant="int8". 0 = full-rank. Inference-only.
+    fc6_rank: int = 0
+    fc7_rank: int = 0
     dtype: str = "bfloat16"  # trunk compute dtype; heads/losses stay f32
     # bbox regression target normalization (Fast R-CNN §2.3 / BBoxNorm.lua)
     bbox_reg_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
@@ -197,6 +203,14 @@ def preset(name: str) -> Config:
         # accuracy pinned within noise of bf16 by tests/test_quant.py.
         c = _replace(c, "model", head_quant="int8")
         c = _replace(c, "train", batch_size=8)
+    elif name == "multipath_vgg16_int8_svd":
+        # int8 serving + truncated-SVD FC compression at the Fast R-CNN
+        # §3.1 operating point (fc6 t=1024, fc7 t=256 — the paper's VGG-16
+        # deployment ranks). Load a float checkpoint: it is factorized
+        # (ops/lowrank.py) then quantized at load/export.
+        c = _replace(c, "model", head_quant="int8", fc6_rank=1024,
+                     fc7_rank=256)
+        c = _replace(c, "train", batch_size=8)
     elif name == "multipath_vgg16_train":
         # config 4: integral-loss fine-tuning, data-parallel over the TPU mesh
         pass
@@ -237,6 +251,7 @@ PRESETS = (
     "multipath_vgg16_b1",
     "multipath_vgg16_batched",
     "multipath_vgg16_int8",
+    "multipath_vgg16_int8_svd",
     "multipath_vgg16_train",
     "multipath_vgg16_reference",
     "multipath_resnet18_integral",

@@ -144,6 +144,17 @@ class Detector:
     """
 
     def __init__(self, model: MultiPathNet, params, cfg: Config, mesh=None):
+        if model.cfg.fc6_rank or model.cfg.fc7_rank:
+            # low-rank serving config on a full-rank FLOAT checkpoint:
+            # truncated-SVD factorize at load (ops/lowrank.py, Fast R-CNN
+            # §3.1); already-factored trees (serving bundles) pass through.
+            # Must precede int8 quantization (SVD needs float kernels).
+            from multipathnet_tpu.ops.lowrank import (factorize_head_params,
+                                                      is_factored)
+
+            if not is_factored(params):
+                params = factorize_head_params(
+                    params, model.cfg.fc6_rank, model.cfg.fc7_rank)
         if model.cfg.head_quant == "int8":
             # serving config on a FLOAT checkpoint: quantize the head once at
             # load (ops/quant.py); already-quantized trees pass through.

@@ -41,6 +41,16 @@ def save_bundle(path: str, cfg: Config, params, quant: str = "keep") -> None:
             cfg.model, head_quant=quant))
     import jax
 
+    if cfg.model.fc6_rank or cfg.model.fc7_rank:
+        # truncated-SVD compression (ops/lowrank.py) happens at export, like
+        # quantization — and must precede it (SVD needs float kernels)
+        from multipathnet_tpu.ops.lowrank import (factorize_head_params,
+                                                  is_factored)
+
+        if not is_factored(params):
+            params = factorize_head_params(
+                params, cfg.model.fc6_rank, cfg.model.fc7_rank)
+
     already_quantized = any(
         "kernel_i8" in str(p)
         for p, _ in jax.tree_util.tree_leaves_with_path(params))

@@ -82,6 +82,15 @@ class MultiPathHead(nn.Module):
     # "none" (bf16 GEMMs) or "int8" (serving path: Int8Dense everywhere the
     # head has a GEMM; params come from ops/quant.quantize_head_params).
     quant: str = "none"
+    # Truncated-SVD serving compression (Fast R-CNN §3.1, ops/lowrank.py):
+    # rank t > 0 splits that FC family into a bias-free (in -> t) factor
+    # layer (fc6_f{i}_u) followed by the (t -> fc_dim) layer that keeps the
+    # original name + bias. Params come from lowrank.factorize_head_params
+    # of a full-rank float checkpoint; composes with quant="int8" (both
+    # factors quantize; the t-dim intermediate re-quantizes per-row
+    # dynamically). Inference-only, like quant.
+    fc6_rank: int = 0
+    fc7_rank: int = 0
 
     @nn.compact
     def __call__(self, pooled: jnp.ndarray, train: bool = False):
@@ -95,6 +104,13 @@ class MultiPathHead(nn.Module):
         assert not (train and self.quant != "none"), (
             "int8 head is inference-only; train with quant='none' and "
             "quantize the checkpoint via ops.quant.quantize_head_params")
+        assert not (train and (self.fc6_rank or self.fc7_rank)), (
+            "low-rank head is inference-only; train full-rank and "
+            "factorize the checkpoint via ops.lowrank.factorize_head_params")
+        assert self.fc6_rank <= min(g * g * c, self.fc_dim), (
+            "fc6_rank exceeds full rank", self.fc6_rank, g * g * c,
+            self.fc_dim)
+        assert self.fc7_rank <= self.fc_dim, (self.fc7_rank, self.fc_dim)
         dense: Callable = (Int8Dense if self.quant == "int8" else nn.Dense)
         n = b * r
 
@@ -111,17 +127,31 @@ class MultiPathHead(nn.Module):
             from multipathnet_tpu.ops import quant as quant_ops
 
             xq, xs = quant_ops.quantize_rows(x.reshape(b, f, r, g * g * c))
+        def factored(name, rank, xin, xin_scale=None):
+            """One FC as (in -> rank) bias-free factor + (rank -> fc_dim)
+            named layer, or the plain single GEMM when rank == 0. The int8
+            path feeds the pre-quantized slab into the FIRST GEMM only; the
+            rank-t intermediate re-quantizes per-row inside Int8Dense."""
+            if rank > 0:
+                args = (xin,) if xin_scale is None else (xin, xin_scale)
+                hu = dense(rank, use_bias=False, dtype=self.dtype,
+                           name=f"{name}_u")(*args)
+                return dense(self.fc_dim, dtype=self.dtype, name=name)(hu)
+            args = (xin,) if xin_scale is None else (xin, xin_scale)
+            return dense(self.fc_dim, dtype=self.dtype, name=name)(*args)
+
         branches = []
         for i in range(f):
             if self.quant == "int8":
-                h = dense(self.fc_dim, dtype=self.dtype, name=f"fc6_f{i}")(
-                    xq[:, i].reshape(n, g * g * c), xs[:, i].reshape(n, 1))
+                h = factored(f"fc6_f{i}", self.fc6_rank,
+                             xq[:, i].reshape(n, g * g * c),
+                             xs[:, i].reshape(n, 1))
             else:
-                h = x[:, i].reshape(n, g * g * c)
-                h = dense(self.fc_dim, dtype=self.dtype, name=f"fc6_f{i}")(h)
+                h = factored(f"fc6_f{i}", self.fc6_rank,
+                             x[:, i].reshape(n, g * g * c))
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
-            h = dense(self.fc_dim, dtype=self.dtype, name=f"fc7_f{i}")(h)
+            h = factored(f"fc7_f{i}", self.fc7_rank, h)
             h = nn.relu(h)
             h = nn.Dropout(self.dropout_rate, deterministic=not train)(h)
             branches.append(h)

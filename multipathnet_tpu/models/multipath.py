@@ -55,6 +55,8 @@ class MultiPathNet(nn.Module):
             class_specific_bbox=self.cfg.class_specific_bbox,
             dtype=dtype,
             quant=self.cfg.head_quant,
+            fc6_rank=self.cfg.fc6_rank,
+            fc7_rank=self.cfg.fc7_rank,
         )
 
     def features(self, images: jnp.ndarray, train: bool = False) -> dict:
