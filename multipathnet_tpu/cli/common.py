@@ -181,14 +181,26 @@ def restore_float_state(cfg: Config, checkpoint_dir: str = "",
 
 def eval_model_for(cfg: Config, trainer):
     """The model to EVALUATE with: the trainer's float model, or a freshly
-    built quantized-head one when cfg requests int8 serving (the float
-    checkpoint params pass through Detector, which quantizes at load)."""
-    if cfg.model.head_quant == "none":
+    built serving one when cfg requests a serving transform — int8 heads
+    and/or truncated-SVD ranks (the float checkpoint params pass through
+    Detector, which factorizes/quantizes at load). The condition must mirror
+    restore_float_state's strip condition: trainer.model was built from the
+    rank-stripped float_cfg, so returning it for a ranked-but-unquantized
+    config would silently evaluate the FULL-RANK model (r3 ADVICE, medium)."""
+    serving = (cfg.model.head_quant != "none" or cfg.model.fc6_rank
+               or cfg.model.fc7_rank)
+    if not serving:
         return trainer.model
     import sys
 
     from multipathnet_tpu.models.multipath import build_model
 
-    print(f"head_quant={cfg.model.head_quant}: quantizing restored "
+    parts = []
+    if cfg.model.head_quant != "none":
+        parts.append(f"head_quant={cfg.model.head_quant}")
+    if cfg.model.fc6_rank or cfg.model.fc7_rank:
+        parts.append(f"svd ranks fc6={cfg.model.fc6_rank} "
+                     f"fc7={cfg.model.fc7_rank}")
+    print(f"serving transforms ({', '.join(parts)}) applied to restored "
           f"checkpoint at load", file=sys.stderr)
     return build_model(cfg.model)

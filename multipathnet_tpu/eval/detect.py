@@ -149,12 +149,16 @@ class Detector:
             # truncated-SVD factorize at load (ops/lowrank.py, Fast R-CNN
             # §3.1); already-factored trees (serving bundles) pass through.
             # Must precede int8 quantization (SVD needs float kernels).
-            from multipathnet_tpu.ops.lowrank import (factorize_head_params,
+            from multipathnet_tpu.ops.lowrank import (check_factored_ranks,
+                                                      factorize_head_params,
                                                       is_factored)
 
             if not is_factored(params):
                 params = factorize_head_params(
                     params, model.cfg.fc6_rank, model.cfg.fc7_rank)
+            else:
+                check_factored_ranks(params, model.cfg.fc6_rank,
+                                     model.cfg.fc7_rank)
         if model.cfg.head_quant == "int8":
             # serving config on a FLOAT checkpoint: quantize the head once at
             # load (ops/quant.py); already-quantized trees pass through.

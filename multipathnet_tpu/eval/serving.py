@@ -44,12 +44,18 @@ def save_bundle(path: str, cfg: Config, params, quant: str = "keep") -> None:
     if cfg.model.fc6_rank or cfg.model.fc7_rank:
         # truncated-SVD compression (ops/lowrank.py) happens at export, like
         # quantization — and must precede it (SVD needs float kernels)
-        from multipathnet_tpu.ops.lowrank import (factorize_head_params,
+        from multipathnet_tpu.ops.lowrank import (check_factored_ranks,
+                                                  factorize_head_params,
                                                   is_factored)
 
         if not is_factored(params):
             params = factorize_head_params(
                 params, cfg.model.fc6_rank, cfg.model.fc7_rank)
+        else:
+            # already-factored trees must match the config's ranks, or the
+            # bundle would only fail at load with a flax shape error
+            check_factored_ranks(params, cfg.model.fc6_rank,
+                                 cfg.model.fc7_rank)
 
     already_quantized = any(
         "kernel_i8" in str(p)

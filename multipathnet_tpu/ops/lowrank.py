@@ -57,6 +57,36 @@ def is_factored(params) -> bool:
     return scan(params)
 
 
+def check_factored_ranks(params, fc6_rank: int, fc7_rank: int) -> None:
+    """Validate that an already-factored tree's factor shapes match the
+    config's ranks. `is_factored` is rank-agnostic, so without this check a
+    tree factored at DIFFERENT ranks would pass straight through export and
+    only fail with an opaque flax shape error at bundle load (r3 ADVICE,
+    low). Raises ValueError naming the mismatching layer."""
+    from collections.abc import Mapping
+
+    want = {"fc6_f": fc6_rank, "fc7_f": fc7_rank}
+
+    def scan(d):
+        if not isinstance(d, Mapping):
+            return
+        for k, v in d.items():
+            if (isinstance(k, str) and k.endswith("_u")
+                    and isinstance(v, Mapping) and "kernel" in v):
+                for prefix, r in want.items():
+                    if k.startswith(prefix):
+                        got = v["kernel"].shape[1]
+                        if got != r:
+                            raise ValueError(
+                                f"params are factored at rank {got} for {k} "
+                                f"but the config says "
+                                f"{prefix.rstrip('_f')}_rank={r}; re-export "
+                                "from the full-rank float checkpoint")
+            scan(v)
+
+    scan(params)
+
+
 def factorize_head_params(params, fc6_rank: int = 0, fc7_rank: int = 0):
     """One-time transform: factorize every fc6_f*/fc7_f* Dense kernel in the
     (float) param tree at the given ranks (0 = leave that family full-rank).
@@ -79,10 +109,18 @@ def factorize_head_params(params, fc6_rank: int = 0, fc7_rank: int = 0):
         out = {}
         for k, v in d.items():
             r = rank_for(k) if isinstance(v, dict) else 0
+            if r > 0 and isinstance(v, dict) and "kernel_i8" in v:
+                # ValueError, not assert: a user-reachable deploy-path error
+                # (re-exporting a quantized tree with SVD ranks added), and
+                # asserts vanish under python -O. Checked BEFORE the "kernel"
+                # gate — the int8 layout has no float "kernel" leaf, so the
+                # tree would otherwise pass through unfactored and fail with
+                # an opaque flax shape error at first apply (r3 ADVICE, low).
+                raise ValueError(
+                    f"{k} is already int8-quantized; SVD factorization "
+                    "needs float kernels — re-export from the float "
+                    "checkpoint (factorize first, then quantize)")
             if r > 0 and isinstance(v, dict) and "kernel" in v:
-                assert "kernel_i8" not in v, (
-                    f"{k} is already int8-quantized; factorize the FLOAT "
-                    "checkpoint first, then quantize")
                 assert f"{k}_u" not in d, f"{k} is already factored"
                 a, b = factorize_kernel(v["kernel"], r)
                 out[f"{k}_u"] = {"kernel": a}

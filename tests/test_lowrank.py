@@ -130,6 +130,48 @@ def test_bundle_export_factorizes(tmp_path):
     assert np.isfinite(o["scores"]).all()
 
 
+def test_factorize_quantized_tree_raises_value_error():
+    """Re-exporting an int8 tree with SVD ranks must fail with a clear
+    ValueError (not a bare assert, which vanishes under python -O)."""
+    from multipathnet_tpu.ops.quant import quantize_head_params
+
+    *_, params, _, _ = _tiny_setup(32, 16)
+    qparams = quantize_head_params(params)
+    with pytest.raises(ValueError, match="already int8-quantized"):
+        lowrank.factorize_head_params(qparams, 32, 16)
+
+
+def test_bundle_export_rejects_rank_mismatched_factored_tree(tmp_path):
+    """A tree factored at DIFFERENT ranks than the config must fail at
+    export with a named error, not ship a bundle that dies at load."""
+    from multipathnet_tpu.eval.serving import save_bundle
+
+    _, scfg, _, _, params, _, _ = _tiny_setup(32, 16)
+    wrong = lowrank.factorize_head_params(params, 16, 8)  # cfg says 32/16
+    with pytest.raises(ValueError, match="factored at rank"):
+        save_bundle(str(tmp_path / "b"), scfg, wrong, quant="keep")
+    # matching ranks pass the same check
+    lowrank.check_factored_ranks(
+        lowrank.factorize_head_params(params, 32, 16), 32, 16)
+
+
+def test_eval_model_for_rebuilds_for_svd_only_config():
+    """cli.common.eval_model_for must NOT return the trainer's full-rank
+    float model when the config carries SVD ranks with quant disabled
+    (r3 ADVICE medium: reported AP silently ignored the SVD config)."""
+    from multipathnet_tpu.cli.common import eval_model_for
+
+    class FakeTrainer:
+        model = object()
+
+    cfg = _svd_cfg(preset("tiny"), 32, 16, quant="none")
+    m = eval_model_for(cfg, FakeTrainer())
+    assert m is not FakeTrainer.model
+    assert m.cfg.fc6_rank == 32 and m.cfg.fc7_rank == 16
+    # no serving transform -> the trainer's model comes back untouched
+    assert eval_model_for(preset("tiny"), FakeTrainer()) is FakeTrainer.model
+
+
 @pytest.mark.slow
 def test_reduced_rank_ap_matches_float_after_training(overfit_tiny):
     """Serving guarantee at the reduced-rank operating point: AP50 within
