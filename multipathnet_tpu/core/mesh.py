@@ -72,41 +72,81 @@ class MeshRules:
     # -- tensor parallelism over the "model" axis -----------------------------
     def tree_sharding(self, tree):
         """Megatron-style TP rules applied by tree path (works for params AND
-        optimizer state, whose momentum subtree mirrors param names):
+        optimizer state, whose momentum subtree mirrors param names), covering
+        all three head layouts — float training, int8 serving, and the
+        truncated-SVD factored serving layout (r3 VERDICT weak #4: keying on
+        the leaf name "kernel" alone silently replicated int8 heads and
+        mis-paired the SVD factors):
 
-          fc6_f* kernel  -> P(None, "model")   column-parallel
-          fc6_f* bias    -> P("model")
-          fc7_f* kernel  -> P("model", None)   row-parallel (psum output)
-          cls_bbox kernel-> P(None, "model")   column-parallel
-          cls_bbox bias  -> P("model")
-          everything else replicated
+          float / int8 (kernel or kernel_i8+kernel_scale):
+            fc6_f*            column-parallel   W P(None,"model"),
+                                                scale/bias P("model")
+            fc7_f*            row-parallel      W P("model",None),
+                                                scale/bias replicated
+            cls_bbox          column-parallel (when the output dim divides)
+          SVD-factored pairs (fc6_f{i}_u + fc6_f{i}, likewise fc7):
+            *_u factor        column-parallel over the RANK axis
+            partner layer     row-parallel over the rank axis
+            -> the rank bottleneck costs exactly one psum per factored FC,
+               and every GEMM keeps full 1/n_model FLOP parallelism (a
+               replicated first factor would duplicate the dominant K*t MACs)
 
-        With a model axis of size 1 this degrades to pure replication; the
-        train step code never changes (SURVEY.md §2.3 TP row: the mesh axis
-        is reserved so FC heads *can* shard without train-loop changes).
+        Any layer whose sharded dim does not divide the model axis falls back
+        to replicated — pairwise-consistently for the SVD factors, since both
+        factors key the SAME rank dim (explicit NamedShardings reject ragged
+        shards; cls_bbox's dim is data-dependent, e.g. 810 at COCO shards
+        2-way but not 4-way). int8 kernel_scale is per-OUTPUT-channel, so it
+        shards with its layer's output axis (column-parallel) and replicates
+        for row-parallel layers. With a model axis of size 1 everything
+        degrades to pure replication; the train step code never changes
+        (SURVEY.md §2.3 TP row).
         """
         n_model = self.mesh.shape[MODEL_AXIS]
+        repl = NamedSharding(self.mesh, P())
+
+        # pre-scan: which FC layers are SVD-factored (have a *_u sibling)?
+        u_names = set()
+        for path, _ in jax.tree_util.tree_leaves_with_path(tree):
+            for p in path:
+                n = str(getattr(p, "key", getattr(p, "name", "")))
+                if n.endswith("_u") and (n.startswith("fc6_f")
+                                         or n.startswith("fc7_f")):
+                    u_names.add(n)
 
         def rule(path, leaf):
             names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-            if n_model > 1 and getattr(leaf, "ndim", 0) >= 1:
-                in_fc6 = any(n.startswith("fc6_f") for n in names)
-                # cls_bbox shards only when its output dim divides evenly:
-                # explicit NamedSharding (unlike GSPMD-internal specs) rejects
-                # ragged shards, and the dim (K*classes + 4*classes) is data-
-                # dependent (810 at COCO: even, but not divisible by 4).
-                in_cb = (any(n == "cls_bbox" for n in names)
-                         and leaf.shape[-1] % n_model == 0)
-                in_col = in_fc6 or in_cb
-                in_fc7 = any(n.startswith("fc7_f") for n in names)
-                is_kernel = names[-1] == "kernel"
-                is_bias = names[-1] == "bias"
-                if in_col and is_kernel and leaf.ndim == 2:
+            if n_model <= 1 or getattr(leaf, "ndim", 0) < 1:
+                return repl
+            layer = next((n for n in names
+                          if n.startswith("fc6_f") or n.startswith("fc7_f")
+                          or n == "cls_bbox"), "")
+            if not layer:
+                return repl
+            leafname = names[-1]
+            is_w = leafname in ("kernel", "kernel_i8") and leaf.ndim == 2
+            is_out_vec = (leafname in ("kernel_scale", "bias")
+                          and leaf.ndim == 1)
+            if not (is_w or is_out_vec):
+                return repl
+            # role: column-parallel (shard output axis) or row-parallel
+            # (shard input axis, reduction crosses shards)
+            if layer.endswith("_u"):
+                role = "col"                      # first SVD factor: rank out
+            elif f"{layer}_u" in u_names:
+                role = "row"                      # second SVD factor: rank in
+            elif layer.startswith("fc6_f") or layer == "cls_bbox":
+                role = "col"
+            else:                                 # unfactored fc7
+                role = "row"
+            if role == "col":
+                out_dim = leaf.shape[-1] if is_w else leaf.shape[0]
+                if out_dim % n_model:
+                    return repl
+                if is_w:
                     return NamedSharding(self.mesh, P(None, MODEL_AXIS))
-                if in_col and is_bias and leaf.ndim == 1:
-                    return NamedSharding(self.mesh, P(MODEL_AXIS))
-                if in_fc7 and is_kernel and leaf.ndim == 2:
-                    return NamedSharding(self.mesh, P(MODEL_AXIS, None))
-            return NamedSharding(self.mesh, P())
+                return NamedSharding(self.mesh, P(MODEL_AXIS))
+            if is_w and leaf.shape[0] % n_model == 0:
+                return NamedSharding(self.mesh, P(MODEL_AXIS, None))
+            return repl  # row-parallel scale/bias: per-output, replicated
 
         return jax.tree_util.tree_map_with_path(rule, tree)

@@ -138,6 +138,111 @@ def test_eval_dp_sharding_int8_matches_single_device(data):
     np.testing.assert_allclose(boxes_4, boxes_1, atol=1e-3)
 
 
+def _score_single_vs_tp(cfg, batch, params):
+    """Helper: score_batch unsharded vs GSPMD-partitioned over a (1, 2)
+    data x model mesh with params placed by MeshRules.tree_sharding.
+    Returns ((boxes_1, probs_1), (boxes_tp, probs_tp), sharded params)."""
+    from multipathnet_tpu.core.mesh import MeshRules
+    from multipathnet_tpu.eval.detect import score_batch
+    from multipathnet_tpu.models.multipath import build_model
+
+    model = build_model(cfg.model)
+    args = (jnp.asarray(batch.images), jnp.asarray(batch.src_hws),
+            jnp.asarray(batch.proposals))
+    f = jax.jit(lambda p, im, hw, pr: score_batch(p, model, cfg, im, hw, pr))
+    out_1 = jax.tree.map(np.asarray, f(params, *args))
+
+    mesh = make_mesh(n_data=1, n_model=2)
+    rules = MeshRules(mesh)
+    params_tp = jax.device_put(params, rules.tree_sharding(params))
+    rep = NamedSharding(mesh, P())
+    args_r = tuple(jax.device_put(a, rep) for a in args)
+    out_tp = jax.tree.map(np.asarray, f(params_tp, *args_r))
+    return out_1, out_tp, params_tp
+
+
+def test_tp_int8_layout_shards_and_matches(data):
+    """r3 VERDICT weak #4: tree_sharding used to key on the leaf name
+    "kernel", so the int8 serving layout (kernel_i8 + kernel_scale) fell
+    back to fully replicated heads with no warning. The int8 kernels must
+    now TP-shard (scale with the output axis for column-parallel layers)
+    and the GSPMD-partitioned graph must reproduce the single-device
+    scores/boxes."""
+    from multipathnet_tpu.models.multipath import build_model
+    from multipathnet_tpu.ops.quant import quantize_head_params
+
+    cfg, batch = data
+    qcfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                 head_quant="int8"))
+    fparams = build_model(cfg.model).init(
+        jax.random.key(0), jnp.zeros((1, *cfg.data.image_size, 3)),
+        jnp.zeros((1, 1, 4)))
+    qparams = quantize_head_params(fparams)
+    out_1, out_tp, ptp = _score_single_vs_tp(qcfg, batch, qparams)
+
+    head = ptp["params"]["head"]
+    assert head["fc6_f0"]["kernel_i8"].sharding.spec[-1] == MODEL_AXIS
+    assert head["fc6_f0"]["kernel_scale"].sharding.spec[0] == MODEL_AXIS
+    assert head["fc7_f0"]["kernel_i8"].sharding.spec[0] == MODEL_AXIS
+    assert head["fc7_f0"]["kernel_scale"].sharding.is_fully_replicated
+    # tiny preset: cls_bbox out = 6*5 + 4*5 = 50, divisible by 2
+    assert head["cls_bbox"]["kernel_i8"].sharding.spec[-1] == MODEL_AXIS
+    np.testing.assert_allclose(out_tp[1], out_1[1], atol=1e-4)
+    np.testing.assert_allclose(out_tp[0], out_1[0], atol=1e-3)
+
+
+def test_tp_svd_layout_shards_and_matches(data):
+    """SVD factor pairs under TP (r3 VERDICT weak #4's second half): the
+    *_u factor shards column-parallel over the RANK axis and its partner
+    row-parallel, so the rank bottleneck needs exactly one psum and no GEMM
+    duplicates FLOPs. Composed with int8 (the production int8_svd preset
+    layout), GSPMD must reproduce the single-device outputs."""
+    from multipathnet_tpu.models.multipath import build_model
+    from multipathnet_tpu.ops.lowrank import factorize_head_params
+    from multipathnet_tpu.ops.quant import quantize_head_params
+
+    cfg, batch = data
+    scfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, head_quant="int8", fc6_rank=16, fc7_rank=8))
+    fparams = build_model(cfg.model).init(
+        jax.random.key(0), jnp.zeros((1, *cfg.data.image_size, 3)),
+        jnp.zeros((1, 1, 4)))
+    sparams = quantize_head_params(
+        factorize_head_params(fparams, 16, 8))
+    out_1, out_tp, ptp = _score_single_vs_tp(scfg, batch, sparams)
+
+    head = ptp["params"]["head"]
+    assert head["fc6_f0_u"]["kernel_i8"].sharding.spec[-1] == MODEL_AXIS
+    assert head["fc6_f0_u"]["kernel_scale"].sharding.spec[0] == MODEL_AXIS
+    assert head["fc6_f0"]["kernel_i8"].sharding.spec[0] == MODEL_AXIS
+    assert head["fc7_f0_u"]["kernel_i8"].sharding.spec[-1] == MODEL_AXIS
+    assert head["fc7_f0"]["kernel_i8"].sharding.spec[0] == MODEL_AXIS
+    np.testing.assert_allclose(out_tp[1], out_1[1], atol=1e-4)
+    np.testing.assert_allclose(out_tp[0], out_1[0], atol=1e-3)
+
+
+def test_tp_svd_odd_rank_falls_back_pairwise(data):
+    """A rank that does not divide the model axis must replicate BOTH
+    factors of the pair (a half-sharded pair would be semantically wrong
+    under explicit NamedShardings)."""
+    from multipathnet_tpu.core.mesh import MeshRules
+    from multipathnet_tpu.models.multipath import build_model
+    from multipathnet_tpu.ops.lowrank import factorize_head_params
+
+    cfg, _ = data
+    fparams = build_model(cfg.model).init(
+        jax.random.key(0), jnp.zeros((1, *cfg.data.image_size, 3)),
+        jnp.zeros((1, 1, 4)))
+    sparams = factorize_head_params(fparams, 15, 0)  # 15 % 2 != 0
+    rules = MeshRules(make_mesh(n_data=1, n_model=2))
+    sh = rules.tree_sharding(sparams)
+    head = sh["params"]["head"]
+    assert head["fc6_f0_u"]["kernel"].is_fully_replicated
+    assert head["fc6_f0"]["kernel"].is_fully_replicated
+    # the unfactored fc7 keeps its row-parallel sharding
+    assert head["fc7_f0"]["kernel"].spec[0] == MODEL_AXIS
+
+
 @pytest.mark.slow
 def test_eval_proposal_axis_sharding_matches(data):
     """SURVEY.md §2.3 SP row: the structural analog of sequence parallelism
