@@ -23,6 +23,19 @@ import numpy as np
 from multipathnet_tpu.data.proposals import ProposalStore
 
 CATEGORY_NAMES = ("rect", "ellipse", "cross", "stripes")
+
+_EXT = {"png": "png", "jpeg": "jpg"}
+
+
+def _save(pil_img, path: str, image_format: str) -> None:
+    """PNG (lossless) or quality-95 JPEG — the latter so fixtures exercise
+    the real libjpeg decode path (COCO ships JPEGs; every fixture was PNG
+    until r4, leaving CocoLoader's JPEG row with zero coverage)."""
+    if image_format == "jpeg":
+        pil_img.save(path, format="JPEG", quality=95)
+    else:
+        assert image_format == "png", image_format
+        pil_img.save(path)
 # distinct color per category (R, G, B)
 _COLORS = np.array(
     [[220, 60, 60], [60, 200, 80], [70, 90, 220], [230, 200, 50]], np.uint8
@@ -87,10 +100,15 @@ def generate(
     jitter: float = 0.1,
     seed: int = 0,
     split: str = "synthetic",
+    image_format: str = "png",
 ) -> dict:
     """Write images/, annotations/instances_<split>.json, proposals_<split>.npz.
 
     Returns paths dict. Deterministic for a given seed.
+
+    image_format: "png" (lossless — the exact-AP fixtures rely on it) or
+    "jpeg" (real COCO images are JPEG; quality-95 files exercise the actual
+    libjpeg decode path in CocoLoader.load_image — SURVEY.md §2.2 JPEG row).
     """
     rng = np.random.default_rng(seed)
     s = image_size
@@ -128,8 +146,8 @@ def generate(
                 "segmentation": _segmentation(cls, x1, y1, bw, bh),
             })
             ann_id += 1
-        fname = f"{split}_{img_id}.png"
-        Image.fromarray(img).save(os.path.join(img_dir, fname))
+        fname = f"{split}_{img_id}.{_EXT[image_format]}"
+        _save(Image.fromarray(img), os.path.join(img_dir, fname), image_format)
         images.append({"id": img_id, "file_name": fname,
                        "height": s, "width": s})
 
@@ -185,6 +203,7 @@ def generate_voc(
     split: str = "test",
     year: str = "2007",
     difficult_frac: float = 0.0,
+    image_format: str = "png",
 ) -> dict:
     """Write a VOCdevkit/VOC{year} tree (Annotations XML + JPEGImages +
     ImageSets/Main/{split}.txt) with the same synthetic scenes as generate(),
@@ -217,7 +236,7 @@ def generate_voc(
         n_obj = int(rng.integers(1, max_objects + 1))
 
         xroot = ET.Element("annotation")
-        ET.SubElement(xroot, "filename").text = f"{sid}.png"
+        ET.SubElement(xroot, "filename").text = f"{sid}.{_EXT[image_format]}"
         size_el = ET.SubElement(xroot, "size")
         ET.SubElement(size_el, "width").text = str(s)
         ET.SubElement(size_el, "height").text = str(s)
@@ -243,7 +262,9 @@ def generate_voc(
             ET.SubElement(bb, "xmax").text = str(round(x1 + bw, 2))
             ET.SubElement(bb, "ymax").text = str(round(y1 + bh, 2))
 
-        Image.fromarray(img).save(os.path.join(img_dir, f"{sid}.png"))
+        _save(Image.fromarray(img),
+              os.path.join(img_dir, f"{sid}.{_EXT[image_format]}"),
+              image_format)
         ET.ElementTree(xroot).write(os.path.join(ann_dir, f"{sid}.xml"))
         ids.append(sid)
 
