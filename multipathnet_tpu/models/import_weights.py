@@ -294,9 +294,10 @@ def multipath_head_params_from_state_dict(
 
 def load_t7(path: str, long_size: int = 8) -> dict:
     """Torch7 `.t7` checkpoint -> flattened {dotted.path: ndarray} state
-    dict via the in-repo reader (data/t7.py) — the first step of the parity
-    runbook now runs on-box (docs/PARITY.md step 1; SURVEY.md §2.1 Demo row:
-    `resnet18_integral_coco.t7`). The caller renames the dotted nn-module
+    dict via the in-repo reader (data/t7.py) — the fallback ingestion path
+    for graphs models/t7_import.import_model_t7's structural automapper
+    rejects (docs/PARITY.md step 1; SURVEY.md §2.1 Demo row:
+    `resnet18_integral_coco.t7`). The caller maps the dotted nn-module
     paths (modules.N....) onto the explicit contracts above."""
     from multipathnet_tpu.data import t7
 

@@ -1,11 +1,10 @@
 """Torch7 `.t7` reader tests — hand-built byte fixtures (VERDICT r2 item 5).
 
 No torchfile/torch-writer exists in this environment, so the fixtures are
-written byte-by-byte from the format definition (torch7 File.lua): int32
-type tags, float64 numbers, int32-length strings, int64 longs. The helpers
-below are a minimal format WRITER used only to compose fixtures; every
-structural byte (tags, heap indices, 1-based storage offsets) is explicit
-at the call sites so a reader bug can't cancel a writer bug.
+written byte-by-byte from the format definition (torch7 File.lua) by the
+writer helpers in tests/t7write.py; every structural byte (tags, heap
+indices, 1-based storage offsets) is explicit at the call sites so a
+reader bug can't cancel a writer bug.
 """
 
 import struct
@@ -16,66 +15,9 @@ import pytest
 from multipathnet_tpu.data import t7
 
 
-def w_int(i):
-    return struct.pack("<i", i)
-
-
-def w_long(v):
-    return struct.pack("<q", v)
-
-
-def w_num(x):
-    return w_int(t7.TYPE_NUMBER) + struct.pack("<d", x)
-
-
-def w_rawstr(s):  # size+bytes, NO tag (torch object class/version strings)
-    b = s.encode()
-    return w_int(len(b)) + b
-
-
-def w_str(s):
-    return w_int(t7.TYPE_STRING) + w_rawstr(s)
-
-
-def w_bool(b):
-    return w_int(t7.TYPE_BOOLEAN) + w_int(1 if b else 0)
-
-
-def w_nil():
-    return w_int(t7.TYPE_NIL)
-
-
-def w_table(idx, pairs):
-    body = b"".join(k + v for k, v in pairs)
-    return w_int(t7.TYPE_TABLE) + w_int(idx) + w_int(len(pairs)) + body
-
-
-def w_ref(idx, tag=t7.TYPE_TABLE):
-    """Re-reference a memoized heap object."""
-    return w_int(tag) + w_int(idx)
-
-
-def w_storage(idx, name, arr):
-    arr = np.asarray(arr)
-    return (w_int(t7.TYPE_TORCH) + w_int(idx) + w_rawstr("V 1")
-            + w_rawstr(name) + w_long(arr.size) + arr.tobytes())
-
-
-def w_tensor(idx, name, sizes, strides, offset1, storage_bytes):
-    # nDimension is an int32 (THFile writeInt); sizes/strides/offset are
-    # longs — r3 code-review fix: an earlier w_long(ndim) here mirrored the
-    # same bug in the reader, so the suite was self-consistent but both
-    # diverged from real torch.save output
-    return (w_int(t7.TYPE_TORCH) + w_int(idx) + w_rawstr("V 1")
-            + w_rawstr(name) + w_int(len(sizes))
-            + b"".join(w_long(s) for s in sizes)
-            + b"".join(w_long(s) for s in strides)
-            + w_long(offset1) + storage_bytes)
-
-
-def w_object(idx, classname, table_bytes, version="V 1"):
-    return (w_int(t7.TYPE_TORCH) + w_int(idx) + w_rawstr(version)
-            + w_rawstr(classname) + table_bytes)
+from t7write import (w_bool, w_int, w_long, w_nil, w_num, w_object,
+                     w_rawstr, w_ref, w_storage, w_str, w_table,
+                     w_tensor)
 
 
 def test_scalars():
