@@ -52,7 +52,15 @@ def main(argv=None) -> None:
     if args.checkpoint_dir:
         print(f"exporting step {int(np.asarray(state.step))}")
 
-    save_bundle(args.out, cfg, state.params, quant=args.quant)
+    svd_report: dict = {}
+    save_bundle(args.out, cfg, state.params, quant=args.quant,
+                svd_report=svd_report)
+    if svd_report:
+        # per-kernel SVD truncation loss, visible at export time — an
+        # undertrained checkpoint's flat spectrum factors to garbage
+        # (measured AP 0.0; ops/lowrank.py TRUNCATION_WARN_REL_ERR)
+        print("SVD truncation rel err: " + ", ".join(
+            f"{k}={e:.3f}" for k, e in sorted(svd_report.items())))
     sizes = {f: os.path.getsize(os.path.join(args.out, f))
              for f in sorted(os.listdir(args.out))}
     print(f"bundle written to {args.out}: " +

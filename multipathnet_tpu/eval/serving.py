@@ -24,11 +24,17 @@ import os
 from multipathnet_tpu.core.config import Config
 
 
-def save_bundle(path: str, cfg: Config, params, quant: str = "keep") -> None:
+def save_bundle(path: str, cfg: Config, params, quant: str = "keep",
+                svd_report: dict | None = None) -> None:
     """Write a serving bundle. `params` is a float (training) tree unless the
     cfg already carries a quantized head. quant: "keep" honors
     cfg.model.head_quant; "int8"/"none" override it (the exported config is
-    rewritten to match, so load_detector builds the right head)."""
+    rewritten to match, so load_detector builds the right head).
+
+    `svd_report`, if given, is filled with per-kernel SVD truncation errors
+    when the config carries fc ranks (ops/lowrank.factorize_head_params) —
+    cli.export_serving prints it so an export against an undertrained
+    checkpoint is visibly lossy, not just warned about."""
     import dataclasses
 
     import flax.serialization
@@ -50,7 +56,8 @@ def save_bundle(path: str, cfg: Config, params, quant: str = "keep") -> None:
 
         if not is_factored(params):
             params = factorize_head_params(
-                params, cfg.model.fc6_rank, cfg.model.fc7_rank)
+                params, cfg.model.fc6_rank, cfg.model.fc7_rank,
+                report=svd_report)
         else:
             # already-factored trees must match the config's ranks, or the
             # bundle would only fail at load with a flax shape error

@@ -8,6 +8,7 @@ structure against the factored model's expected param tree.
 """
 
 import dataclasses
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -190,3 +191,88 @@ def test_reduced_rank_ap_matches_float_after_training(overfit_tiny):
                     batch_size=2).test()
     assert float_ap["AP50"] > 0.5, float_ap
     assert svd_ap["AP50"] > float_ap["AP50"] - 0.1, (float_ap, svd_ap)
+
+
+def test_factorize_kernel_randomized_near_optimal():
+    """The randomized range finder (export fast path for deep truncations)
+    must land within a fraction of a percent of the exact truncated SVD's
+    Frobenius error — on a realistic decaying spectrum AND on the
+    worst-case flat spectrum of a pure Gaussian matrix. Also pins
+    determinism (fixed seed) and the wide-matrix transpose path."""
+    rng = np.random.default_rng(3)
+    # decaying spectrum (trained-weight-like): low-rank signal + noise
+    u = rng.standard_normal((512, 48)).astype(np.float32)
+    v = rng.standard_normal((48, 160)).astype(np.float32)
+    w = u @ v + 0.05 * rng.standard_normal((512, 160)).astype(np.float32)
+    t = 32
+    s = np.linalg.svd(w, compute_uv=False)
+    opt = np.linalg.norm(s[t:])
+    a, b = lowrank.factorize_kernel(w, t, method="randomized")
+    err = np.linalg.norm(w - a @ b)
+    assert err <= opt * 1.005, (err, opt)
+    # flat spectrum (hardest case): still within a few percent
+    wf = rng.standard_normal((512, 160)).astype(np.float32)
+    sf = np.linalg.svd(wf, compute_uv=False)
+    af, bf = lowrank.factorize_kernel(wf, t, method="randomized")
+    errf = np.linalg.norm(wf - af @ bf)
+    assert errf <= np.linalg.norm(sf[t:]) * 1.05, errf
+    # deterministic for a fixed seed
+    a2, b2 = lowrank.factorize_kernel(w, t, method="randomized")
+    np.testing.assert_array_equal(a, a2)
+    np.testing.assert_array_equal(b, b2)
+    # wide matrix routes through the transpose
+    aw, bw = lowrank.factorize_kernel(w.T, t, method="randomized")
+    assert aw.shape == (160, t) and bw.shape == (t, 512)
+    assert np.linalg.norm(w.T - aw @ bw) <= opt * 1.005
+
+
+def test_factorize_kernel_auto_routing():
+    """auto = randomized only for deep truncations; shallow/full ranks stay
+    exact (the full-rank exactness contract must never route randomized)."""
+    w = RNG.standard_normal((96, 40)).astype(np.float32)
+    # full rank through auto: bitwise-reproduces the exact path
+    a_auto, b_auto = lowrank.factorize_kernel(w, 40, method="auto")
+    a_ex, b_ex = lowrank.factorize_kernel(w, 40, method="exact")
+    np.testing.assert_array_equal(a_auto, a_ex)
+    np.testing.assert_array_equal(b_auto, b_ex)
+    # deep truncation through auto == randomized (same seed)
+    big = RNG.standard_normal((256, 128)).astype(np.float32)
+    a1, b1 = lowrank.factorize_kernel(big, 16, method="auto")
+    a2, b2 = lowrank.factorize_kernel(big, 16, method="randomized")
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_truncation_report_and_flat_spectrum_warning():
+    """factorize_head_params must (a) fill `report` with per-kernel relative
+    Frobenius truncation errors that match the directly computed ||W-AB||/||W||,
+    (b) warn when a kernel's spectrum is too flat for the rank (the measured
+    serving failure: near-init weights factor to AP 0.0 — lowrank.py
+    TRUNCATION_WARN_REL_ERR), and (c) stay silent on a genuinely low-rank
+    kernel at the same rank."""
+    rng = np.random.default_rng(7)
+    k, n, t = 96, 64, 8
+    flat = rng.standard_normal((k, n)).astype(np.float32)          # flat
+    lowr = (rng.standard_normal((k, t)) @
+            rng.standard_normal((t, n))).astype(np.float32)        # rank-t
+    bias = np.zeros(n, np.float32)
+
+    def tree(w):
+        return {"params": {"fc6_f0": {"kernel": w, "bias": bias}}}
+
+    # flat spectrum at deep rank: warning fires, report matches direct err
+    rep = {}
+    with pytest.warns(UserWarning, match="too aggressive"):
+        out = lowrank.factorize_head_params(tree(flat), t, 0, report=rep)
+    a = out["params"]["fc6_f0_u"]["kernel"]
+    b = out["params"]["fc6_f0"]["kernel"]
+    direct = np.linalg.norm(flat - a @ b) / np.linalg.norm(flat)
+    assert abs(rep["fc6_f0"] - direct) < 1e-3, (rep, direct)
+    assert rep["fc6_f0"] > lowrank.TRUNCATION_WARN_REL_ERR
+
+    # exactly-low-rank kernel at the same rank: near-zero error, no warning
+    rep2 = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        lowrank.factorize_head_params(tree(lowr), t, 0, report=rep2)
+    assert rep2["fc6_f0"] < 0.01, rep2
