@@ -12,6 +12,14 @@ the reference, SURVEY.md §0). TPU-native reformulation on dense anchors:
     Fast R-CNN deltas).
   - masks: BCE of decoded mask logits for GT-box ROIs vs rasterized instance
     masks (data/pipeline.py provides the (G, M, M) targets).
+  - stage-2 cascade (r4): the refine head trains on the net's own stop-grad
+    top-K stage-1 decodes plus jittered GT boxes (guaranteed signal from
+    step 1); smooth-L1 deltas to the matched GT + BCE quality re-score.
+
+Stability note: the dense-anchor BCE is LR-sensitive — lr 2e-2 (the tiny
+preset's detector-overfit rate) oscillates at micro scale (r3's med-IoU
+0.19 -> 0.00 -> 0.25 collapse, reproduced + isolated 2026-08-19); lr 5e-3
+is monotone. Proposal-net runs should use ~5e-3 at these scales.
 """
 
 from __future__ import annotations
@@ -37,10 +45,18 @@ from multipathnet_tpu.train.schedule import make_optimizer
 def sharpmask_loss(anchors, scores, deltas, mask_logits, gt_boxes,
                    gt_mask, gt_masks, *,
                    pos_iou=0.5, neg_iou=0.3,
+                   ref_rois=None, ref_deltas=None, ref_logits=None,
+                   ref_pos_iou=0.5, ref_neg_iou=0.4,
                    bbox_reg_stds=(0.1, 0.1, 0.2, 0.2)):
     """Per-batch proposal losses. Shapes: anchors (N,4); scores (B,N);
     deltas (B,N,4); mask_logits (B,G,M,M); gt_boxes (B,G,4); gt_mask (B,G);
-    gt_masks (B,G,M,M)."""
+    gt_masks (B,G,M,M).
+
+    Stage-2 cascade terms (r4): ref_rois (B,K,4) are the boxes the refine
+    head saw (stage-1 decodes + jittered GT — make_proposal_train_step),
+    ref_deltas/ref_logits its outputs. Matching is per-ROI like the anchor
+    terms but with a tighter negative band (a box at IoU 0.4-0.5 is neither
+    a good proposal nor clearly background for the re-scorer)."""
     iou = box_ops.iou_matrix(anchors[None], gt_boxes)      # (B, N, G)
     iou = jnp.where(gt_mask[:, None, :], iou, -1.0)
     best_iou = iou.max(-1)                                  # (B, N)
@@ -70,32 +86,93 @@ def sharpmask_loss(anchors, scores, deltas, mask_logits, gt_boxes,
         g_valid.sum() * mask_logits.shape[-1] ** 2, 1.0)
 
     total = obj_loss + box_loss + mask_loss
-    return total, {
-        "loss": total, "loss_obj": obj_loss, "loss_box": box_loss,
+    metrics = {
+        "loss_obj": obj_loss, "loss_box": box_loss,
         "loss_mask": mask_loss, "num_pos_anchors": pos.sum(),
     }
 
+    if ref_rois is not None:
+        iou_r = box_ops.iou_matrix(ref_rois, gt_boxes)       # (B, K, G)
+        iou_r = jnp.where(gt_mask[:, None, :], iou_r, -1.0)
+        best_r = iou_r.max(-1)
+        best_rgt = iou_r.argmax(-1)
+        pos_r = best_r >= ref_pos_iou
+        neg_r = best_r < ref_neg_iou
+        bce_r = optax.sigmoid_binary_cross_entropy(
+            ref_logits, pos_r.astype(jnp.float32))
+        np_r = jnp.maximum(pos_r.sum(), 1.0)
+        nn_r = jnp.maximum(neg_r.sum(), 1.0)
+        ref_obj = ((bce_r * pos_r).sum() / np_r
+                   + (bce_r * neg_r).sum() / nn_r) / 2.0
+        matched_r = jnp.take_along_axis(gt_boxes, best_rgt[..., None],
+                                        axis=1)
+        targets_r = box_ops.encode(ref_rois, matched_r, stds=bbox_reg_stds)
+        ref_box = (smooth_l1(ref_deltas - targets_r).sum(-1)
+                   * pos_r).sum() / np_r
+        total = total + ref_obj + ref_box
+        metrics.update(loss_ref_obj=ref_obj, loss_ref_box=ref_box,
+                       num_pos_refine=pos_r.sum())
 
-def make_proposal_train_step(model: SharpMaskNet, cfg: Config, tx):
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_proposal_train_step(model: SharpMaskNet, cfg: Config, tx,
+                             refine_top_k: int = 16):
     d = cfg.data
 
     def step(state: TrainState, batch: Batch):
-        key, k_drop = jax.random.split(state.key)
+        key, k_drop, k_jit = jax.random.split(state.key, 3)
         canvases, scales = transforms.batch_resize_to_canvas(
             batch.images, d.image_size, batch.src_hws)
         gt_boxes = batch.gt_boxes * scales[:, None, None]
+        h, w = d.image_size
 
         # params collection only — batch_stats (frozen BN running stats on
         # ResNet trunks, e.g. the config-5 resnet50 preset) are inputs, not
         # weights (see train/loop.py, test_bn_running_stats_never_train)
         def loss_fn(trainable):
-            anchors, scores, deltas, mask_logits = model.apply(
-                {**state.params, "params": trainable},
-                canvases, gt_boxes, train=True,
-                rngs={"dropout": k_drop})
+            variables = {**state.params, "params": trainable}
+            anchors, scores, deltas, feats = model.apply(
+                variables, canvases, train=True, rngs={"dropout": k_drop},
+                method=SharpMaskNet.dense)
+            mask_logits = model.apply(
+                variables, feats, gt_boxes, (h, w), impl="direct",
+                method=SharpMaskNet.decode_masks)
+
+            # stage-2 cascade training rois: the net's own top-K stage-1
+            # decodes (stop-grad — stage 2 must not reshape stage 1 through
+            # the selection) + jittered GT boxes. The jittered GT guarantee
+            # positive/near-miss examples from step 1, before stage 1 emits
+            # anything useful; the live decodes keep the head trained on
+            # the distribution it will actually refine at generation time.
+            s1 = jax.lax.stop_gradient(scores)
+            d1 = jax.lax.stop_gradient(deltas)
+            _, idx = jax.lax.top_k(s1, refine_top_k)
+            b1 = box_ops.clip(box_ops.decode(
+                jnp.take(anchors, idx, axis=0),
+                jnp.take_along_axis(d1, idx[..., None], axis=1),
+                stds=(0.1, 0.1, 0.2, 0.2)), float(h), float(w))
+            wh = jnp.maximum(gt_boxes[..., 2:4] - gt_boxes[..., 0:2], 1.0)
+            shift = (jax.random.normal(k_jit, gt_boxes.shape[:2] + (2,))
+                     * 0.15 * wh)
+            scale = jnp.exp(jax.random.normal(
+                jax.random.fold_in(k_jit, 1), gt_boxes.shape[:2] + (2,))
+                * 0.2)
+            c = (gt_boxes[..., 0:2] + gt_boxes[..., 2:4]) / 2.0 + shift
+            half = wh * scale / 2.0
+            jit_gt = box_ops.clip(
+                jnp.concatenate([c - half, c + half], -1),
+                float(h), float(w))
+            ref_rois = jnp.concatenate([b1, jit_gt], axis=1)
+            ref_deltas, ref_logits = model.apply(
+                variables, feats, ref_rois, (h, w), impl="direct",
+                method=SharpMaskNet.refine_boxes)
             return sharpmask_loss(
                 anchors, scores, deltas, mask_logits, gt_boxes,
-                batch.gt_mask, batch.gt_masks)
+                batch.gt_mask, batch.gt_masks,
+                ref_rois=ref_rois, ref_deltas=ref_deltas,
+                ref_logits=ref_logits)
 
         (_, metrics), grads_tr = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params["params"])
@@ -116,6 +193,14 @@ class ProposalTrainer:
     def __init__(self, cfg: Config, mesh=None, anchor_scales=None,
                  neck_level: str | None = None):
         self.cfg = cfg
+        if cfg.train.lr > 1e-2:
+            import sys
+
+            print(f"WARNING: proposal-net training at lr={cfg.train.lr} — "
+                  "the dense-anchor BCE measured UNSTABLE at lr>=2e-2 "
+                  "(med-IoU collapse, r3's '30/60/90 oscillation'); "
+                  "~5e-3 is the stable range at small scales "
+                  "(train/proposal.py docstring)", file=sys.stderr)
         size = min(cfg.data.image_size)
         if anchor_scales is None:
             # canvas-relative anchor sizes (objects span ~10-80% of images)

@@ -39,7 +39,16 @@ def setup(tmp_path_factory):
         cfg.model, num_classes=5, backbone="tinynet"))
     loader = CocoLoader(fx["annotations"], fx["images"])
     props = ProposalStore.load(fx["proposals"])
-    trainer = ProposalTrainer(cfg, mesh=make_mesh(n_data=2))
+    # The PROPOSAL net trains at lr 5e-3, not the tiny preset's
+    # detector-overfit 2e-2: the r3 "training oscillation" (med IoU
+    # 0.19 -> 0.00 -> 0.25 at 30/60/90 ep) was a plain LR instability of
+    # the dense-anchor BCE — reproduced and isolated 2026-08-19 (lr 2e-2
+    # const: loss 0.65 -> 2.19 -> 1.34 with the IoU collapse; lr 5e-3
+    # const: monotone med IoU growth; lr 2e-2 + step decay: stable but
+    # plateaus lower). The detector keeps the preset lr (cfg) — its
+    # overfit op point was calibrated there.
+    prop_cfg = cfg.replace(train=dataclasses.replace(cfg.train, lr=5e-3))
+    trainer = ProposalTrainer(prop_cfg, mesh=make_mesh(n_data=2))
     pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0,
                              with_masks=True, mask_size=28)
     return cfg, trainer, pipe, loader
@@ -127,9 +136,12 @@ def test_decode_masks_pyramid_matches_direct(setup):
 
 @pytest.fixture(scope="module")
 def trained_proposal_state(setup):
-    """30-epoch proposal-net overfit, shared by the slow tests below
-    (calibration 2026-08-16: recall@IoU.5 0.95@k16 / 1.00@k32, mean best
-    IoU 0.83 — 12 epochs gave only 0.86/0.61)."""
+    """30-epoch proposal-net overfit, shared by the slow tests below.
+    r4 calibration (2026-08-19, lr 5e-3, aspect anchors + stage-2 cascade):
+    ep30 refined med IoU 0.588 / frac@.5 0.602 / oracle 0.830 /
+    recall@.5 0.952; ep120 reaches 0.800/0.859/0.950/1.000. (The r3
+    square-anchor single-stage net measured med 0.19, frac@.5 ~0.12,
+    oracle 0.686 — VERDICT r3 weak #3.)"""
     cfg, trainer, pipe, loader = setup
     state = trainer.init_state()
     losses = []
@@ -138,6 +150,55 @@ def trained_proposal_state(setup):
             state, m = trainer.step(state, batch)
             losses.append(float(m["loss"]))
     return state, losses
+
+
+def _proposal_quality(trainer, state, loader, refine, top_k=32):
+    """(median best-IoU over proposals, frac of proposals at IoU>=.5,
+    mean best proposal IoU per GT [oracle ceiling], GT recall@.5)."""
+    from multipathnet_tpu.data.transforms import normalize
+    from multipathnet_tpu.ops.boxes import iou_matrix
+
+    ious, gt_best = [], []
+    for i in range(len(loader)):
+        x = jnp.asarray(normalize(jnp.asarray(
+            loader.load_image(i).astype(np.float32))))[None]
+        out = generate_proposals(trainer.model, state.params, x,
+                                 top_k=top_k, with_masks=False,
+                                 refine=refine)
+        ann = loader.annotations(i)
+        iou = np.asarray(iou_matrix(jnp.asarray(out["boxes"][0]),
+                                    jnp.asarray(ann["boxes"])))
+        ious.append(iou.max(1))
+        gt_best.append(iou.max(0))
+    ious = np.concatenate(ious)
+    gt_best = np.concatenate(gt_best)
+    return (float(np.median(ious)), float((ious >= 0.5).mean()),
+            float(gt_best.mean()), float((gt_best >= 0.5).mean()))
+
+
+@pytest.mark.slow
+def test_generated_proposal_quality(setup, trained_proposal_state):
+    """Pins the r4 proposal-quality targets (r3 VERDICT #3 'Done' bar):
+    generated median IoU >= 0.4, >= 30% of boxes at IoU >= 0.5, oracle
+    ceiling (mean best-per-GT) >= 0.75 — and the stage-2 cascade must be
+    the thing delivering the tightness (refined median clearly above the
+    stage-1 median). Measured at this exact op point 2026-08-19:
+    refined 0.588/0.602/0.830, stage-1 0.402/0.375/0.913."""
+    cfg, trainer, pipe, loader = setup
+    state, _ = trained_proposal_state
+    med1, f50_1, oracle1, rec1 = _proposal_quality(trainer, state, loader,
+                                                   refine=False)
+    med2, f50_2, oracle2, rec2 = _proposal_quality(trainer, state, loader,
+                                                   refine=True)
+    print(f"stage1 med={med1:.3f} f50={f50_1:.3f} oracle={oracle1:.3f} "
+          f"rec50={rec1:.3f}; refined med={med2:.3f} f50={f50_2:.3f} "
+          f"oracle={oracle2:.3f} rec50={rec2:.3f}")
+    assert med2 >= 0.4, (med2, med1)
+    assert f50_2 >= 0.3, (f50_2, f50_1)
+    assert oracle2 >= 0.75, oracle2
+    assert rec2 >= 0.9, rec2
+    # the cascade earns its keep: refined boxes are tighter than stage 1
+    assert med2 >= med1 + 0.05, (med1, med2)
 
 
 @pytest.mark.slow
@@ -185,21 +246,20 @@ def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
     near-flat posteriors in both cases at this micro-scale, so ranking is
     what separates them.
 
-    r3 (VERDICT r2 item 4) closes the loop the way the reference did —
+    r3 (VERDICT r2 item 4) closed the loop the way the reference did —
     train the detector ON the generated proposals (the reference trained on
-    offline DeepMask files, SURVEY.md §0). Measured sweep (CPU,
-    2026-08-17): gen-trained/gen-eval is 0.116 at the old 25-epoch budget,
-    0.36 at 100 epochs (converged; fg-quality proposals are rare — only
-    ~12% of generated boxes reach IoU >= 0.5, median 0.19 — so convergence
-    on the generated distribution is ~4x slower than on jitter). The
-    REMAINING gap to jit/jit (~0.66) is proposal-geometry-bound at this
-    micro-scale, not training-bound: an ORACLE ranker (score = max-IoU,
-    no regression) on the same generated set reaches only 0.686, and
-    mask-derived box refinement (DeepMask semantics) is a no-op because
-    the tiny mask heads predict box-filling blobs. More SharpMask epochs
-    oscillate (med IoU 0.19 -> 0.00 -> 0.25 at 30/60/90 ep). Asserts pin
-    the converged operating point: the closed loop must reach 0.3 —
-    2.5x the round-2 eval-only floor of 0.116."""
+    offline DeepMask files, SURVEY.md §0) — and measured gen/gen 0.36 at
+    100 epochs, ceiling-bound by proposal geometry (square single-shot
+    anchors: median IoU 0.19, oracle ranker 0.686).
+
+    r4 attacked the proposal net itself (VERDICT r3 #3): aspect anchors +
+    the stage-2 box cascade + the lr fix (the '30/60/90 oscillation' was
+    plain LR instability — see the setup fixture). Measured on this exact
+    op point (CPU, 2026-08-19): generated proposals med IoU 0.588 /
+    frac@.5 0.602 / oracle 0.830 (test_generated_proposal_quality), and
+    the closed loop rises 0.354 / 0.448 / 0.562 at 25/50/100 gen-training
+    epochs vs jit/jit 0.659 at 25. Asserts pin the converged op point at
+    the VERDICT's target bar: gen/gen >= 0.5 (was 0.3)."""
     from multipathnet_tpu.data.transforms import normalize
     from multipathnet_tpu.eval.tester import Tester
     from multipathnet_tpu.train.loop import Trainer
@@ -240,7 +300,8 @@ def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
         return det, state
 
     det_j, state_j = train_detector(jit_props, 25)  # converges fast (tight)
-    det_g, state_g = train_detector(gen_props, 100)  # rare fg: needs ~4x
+    det_g, state_g = train_detector(gen_props, 100)  # 0.354/0.448/0.562
+    # at 25/50/100 ep (r4 sweep) — still rising at the budget cap
 
     ap_jit = Tester(det_j.model, state_j.params, cfg, det_loader, jit_props,
                     batch_size=2).test()["AP50"]
@@ -248,9 +309,8 @@ def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
                     batch_size=2).test()["AP50"]
     print(f"AP50 jit/jit={ap_jit:.3f} gen-trained/gen-eval={ap_gen:.3f}")
     assert ap_jit > 0.5, f"detector failed to train: AP50={ap_jit:.3f}"
-    # the closed loop at its converged operating point (see docstring —
-    # the residual gap to jit/jit is proposal-geometry-bound, quantified
-    # against an oracle-ranking ceiling of 0.686 on the same proposals)
-    assert ap_gen >= 0.3, (
+    # the closed loop at its converged operating point (r4 measured 0.562
+    # with the cascade proposals; r3 shipped 0.36 against a 0.3 bar)
+    assert ap_gen >= 0.5, (
         f"gen-trained detector below the converged operating point: "
         f"gen/gen={ap_gen:.3f} (jit/jit={ap_jit:.3f})")
