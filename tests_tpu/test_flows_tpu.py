@@ -188,3 +188,60 @@ def test_train_step_frozen_params_bit_identical(rng):
         np.abs(bb_b[k]["kernel"].astype(np.float32)
                - bb_a[k]["kernel"].astype(np.float32)).max() > 0
         for k in moved)
+
+
+def test_svd_factored_head_on_chip(rng):
+    """The truncated-SVD serving path (ops/lowrank.py), COMPILED on the
+    chip. Two contracts: (a) FULL-rank float factorization reproduces the
+    unfactored head's boxes/probabilities to bf16 tolerance (pins the
+    Mosaic lowering of the factor-GEMM chain — CPU tests pin the math);
+    (b) the full serving composition (SVD + int8, the bench headline
+    config) stays within the same few-e-2 envelope as plain int8 — the
+    rank-t intermediate's per-row requantization adds one quantization
+    pass, not a new error regime. Reduced-rank ACCURACY is a property of
+    trained weights (random kernels have flat spectra), pinned on trained
+    checkpoints in PERF.md 'SVD serving', not here."""
+    from multipathnet_tpu.ops.lowrank import factorize_head_params
+    from multipathnet_tpu.ops.quant import quantize_head_params
+
+    b, p, s = 2, 192, 256
+    fc, red = 256, 128
+    base = preset("multipath_resnet18_integral")
+    inputs = detect_inputs(np.random.default_rng(11), b, p, s)
+    outs = {}
+    params = None
+    full = fc  # full rank: fc6 min(7*7*red, fc) = fc; fc7 min(fc, fc) = fc
+    for tag, hq, rank in (("float", "none", 0),
+                          ("svd", "none", full),
+                          ("int8", "int8", 0),
+                          ("int8_svd", "int8", full)):
+        cfg = base.replace(
+            model=dataclasses.replace(base.model, head_quant=hq,
+                                      fc_dim=fc, skip_reduce_dim=red,
+                                      fc6_rank=rank, fc7_rank=rank),
+            data=dataclasses.replace(base.data, image_size=(s, s),
+                                     max_proposals=p))
+        model = build_model(cfg.model)
+        if params is None:
+            params = device_params(model, s)
+        pa = params
+        if rank:
+            pa = factorize_head_params(jax.device_get(pa), rank, rank)
+        if hq == "int8":
+            pa = jax.jit(quantize_head_params)(pa)
+        sf = jax.jit(lambda pa, im, hw, pr, _m=model, _c=cfg:
+                     score_batch(pa, _m, _c, im, hw, pr))
+        bx, pb = sf(pa, *inputs[:3])
+        outs[tag] = (np.asarray(bx), np.asarray(pb))
+
+    for tag in ("svd", "int8", "int8_svd"):
+        assert np.isfinite(outs[tag][0]).all(), tag
+        assert np.isfinite(outs[tag][1]).all(), tag
+    # (a) full-rank float factorization == float head (bf16 rounding only)
+    np.testing.assert_allclose(outs["svd"][1], outs["float"][1], atol=5e-3)
+    np.testing.assert_allclose(outs["svd"][0], outs["float"][0], atol=s * 5e-3)
+    # (b) SVD+int8 tracks float like plain int8 does (same envelope)
+    np.testing.assert_allclose(outs["int8_svd"][1], outs["float"][1],
+                               atol=4e-2)
+    np.testing.assert_allclose(outs["int8_svd"][0], outs["float"][0],
+                               atol=s * 4e-2)
