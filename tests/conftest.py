@@ -72,13 +72,22 @@ def overfit_tiny(tmp_path_factory):
     trainer = Trainer(cfg, mesh=make_mesh(n_data=2))
     pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
 
-    state = trainer.init_state()
-    before = Tester(trainer.model, state.params, cfg, loader, props,
-                    batch_size=2).test()
-    losses = []
-    for ep in range(30):
-        for batch in pipe.epoch(ep):
-            state, m = trainer.step(state, batch)
-            losses.append(float(m["loss"]))
+    def build():
+        state = trainer.init_state()
+        before = Tester(trainer.model, state.params, cfg, loader, props,
+                        batch_size=2).test()
+        losses = []
+        for ep in range(30):
+            for batch in pipe.epoch(ep):
+                state, m = trainer.step(state, batch)
+                losses.append(float(m["loss"]))
+        return dict(state=state, losses=losses, before=before)
+
+    # Deterministic micro-training memoized on disk, keyed by the full
+    # package source hash (tests/state_cache.py) — warm repeats skip the
+    # ~60 s gradient loop; any source change retrains.
+    from state_cache import cached_state
+
+    trained = cached_state("overfit-tiny-8img-30ep-seed5", build)
     return dict(cfg=cfg, loader=loader, props=props, trainer=trainer,
-                state=state, losses=losses, before=before)
+                **trained)

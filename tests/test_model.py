@@ -9,6 +9,7 @@ from multipathnet_tpu.core.config import preset
 from multipathnet_tpu.data import sampler as S
 from multipathnet_tpu.data import transforms as T
 from multipathnet_tpu.models.multipath import build_model
+from jitu import japply, jinit
 
 RNG = np.random.default_rng(4)
 
@@ -20,7 +21,7 @@ def tiny_model():
     images = jnp.zeros((2, 64, 64, 3), jnp.float32)
     rois = jnp.asarray(RNG.uniform(5, 40, (2, 8, 4)), jnp.float32)
     rois = rois.at[..., 2:].add(10.0)
-    params = model.init(jax.random.key(0), images, rois)
+    params = jinit(model, jax.random.key(0), images, rois)
     return cfg, model, params
 
 
@@ -28,7 +29,7 @@ def test_forward_shapes(tiny_model):
     cfg, model, params = tiny_model
     images = jnp.zeros((2, 64, 64, 3), jnp.float32)
     rois = jnp.asarray([[[4, 4, 30, 30], [10, 10, 50, 44]]] * 2, jnp.float32)
-    scores, deltas = model.apply(params, images, rois)
+    scores, deltas = japply(model, params, images, rois)
     k = len(cfg.model.integral_thresholds)
     c = cfg.model.num_classes
     assert scores.shape == (2, 2, k, c)
@@ -61,8 +62,8 @@ def test_backbone_stride_contract():
     for name in REGISTRY:
         bb = get_backbone(name, jnp.float32)
         x = jnp.zeros((1, 64, 64, 3))
-        params = bb.init(jax.random.key(0), x)
-        feats = bb.apply(params, x)
+        params = jinit(bb, jax.random.key(0), x)
+        feats = japply(bb, params, x)
         for lvl, stride in bb.feature_strides.items():
             assert feats[lvl].shape[1] == 64 // stride, (name, lvl)
 
@@ -76,8 +77,8 @@ def test_vanilla_fastrcnn_config():
     model = build_model(mc)
     images = jnp.zeros((1, 64, 64, 3), jnp.float32)
     rois = jnp.asarray([[[4, 4, 30, 30]]], jnp.float32)
-    params = model.init(jax.random.key(0), images, rois)
-    scores, deltas = model.apply(params, images, rois)
+    params = jinit(model, jax.random.key(0), images, rois)
+    scores, deltas = japply(model, params, images, rois)
     assert scores.shape == (1, 1, 1, mc.num_classes)
 
 
@@ -211,18 +212,18 @@ def test_prereduce_equals_reference_concat_reduce():
     rng = jax.random.key(3)
     images = jax.random.uniform(rng, (2, 64, 64, 3))
     rois = jnp.asarray([[[4, 4, 40, 40], [8, 16, 30, 60]]] * 2, jnp.float32)
-    params = model.init(jax.random.key(0), images, rois)
+    params = jinit(model, jax.random.key(0), images, rois)
 
     # new path: reduced features -> pooled sum (+ bias + relu as in the head)
-    feats = model.apply(params, images, method=MultiPathNet.features)
-    pooled_new = model.apply(params, feats, rois, (64, 64),
-                             method=MultiPathNet.pool_rois)
+    feats = japply(model, params, images, method=MultiPathNet.features)
+    pooled_new = japply(model, params, feats, rois, (64, 64),
+                        method=MultiPathNet.pool_rois)
     bias = params["params"]["head"]["skip_bias"]
     new = jax.nn.relu(pooled_new + bias)
 
     # reference path: pool RAW trunk maps, concat levels, 1x1 reduce, relu
     bb = get_backbone(cfg.backbone, jnp.float32)
-    raw = bb.apply({"params": params["params"]["backbone"]}, images)
+    raw = japply(bb, {"params": params["params"]["backbone"]}, images)
     strides = bb.feature_strides
     scales = {l: 1.0 / strides[l] for l in cfg.skip_levels}
 
@@ -233,7 +234,7 @@ def test_prereduce_equals_reference_concat_reduce():
             image_hw=(64, 64), output_size=cfg.roi_output_size,
             samples_per_bin=cfg.roi_samples_per_bin, combine="concat")
 
-    raw_pooled = jax.vmap(pool_raw)(
+    raw_pooled = jax.jit(jax.vmap(pool_raw))(
         *[raw[l] for l in cfg.skip_levels], rois)  # (B,F,R,G,G,sumC)
     w = jnp.concatenate(
         [params["params"][f"reduce_{l}"]["kernel"][0, 0]
@@ -267,27 +268,27 @@ def test_roi_mode_max_reference_path():
     rng = jax.random.key(5)
     images = jax.random.uniform(rng, (1, 64, 64, 3))
     rois = jnp.asarray([[[4, 4, 40, 40], [8, 16, 30, 60]]], jnp.float32)
-    params = model.init(jax.random.key(0), images, rois)
-    scores, deltas = model.apply(params, images, rois)
+    params = jinit(model, jax.random.key(0), images, rois)
+    scores, deltas = japply(model, params, images, rois)
     assert np.all(np.isfinite(np.asarray(scores)))
     assert np.all(np.isfinite(np.asarray(deltas)))
 
     # oracle: raw feats -> exact_max pool -> concat -> 1x1 reduce
-    feats = model.apply(params, images, method=MultiPathNet.features)
+    feats = japply(model, params, images, method=MultiPathNet.features)
     bb = get_backbone(cfg.backbone, jnp.float32)
-    raw = bb.apply({"params": params["params"]["backbone"]}, images)
+    raw = japply(bb, {"params": params["params"]["backbone"]}, images)
     # in max mode features() must return RAW maps
     for l in cfg.skip_levels:
         np.testing.assert_array_equal(np.asarray(feats[l]), np.asarray(raw[l]))
 
-    pooled = model.apply(params, feats, rois, (64, 64),
-                         method=MultiPathNet.pool_rois)
+    pooled = japply(model, params, feats, rois, (64, 64),
+                    method=MultiPathNet.pool_rois)
     scales = {l: 1.0 / bb.feature_strides[l] for l in cfg.skip_levels}
-    want_cat = jax.vmap(lambda *a: roi_ops.multilevel_foveal_roi_features(
+    want_cat = jax.jit(jax.vmap(lambda *a: roi_ops.multilevel_foveal_roi_features(
         dict(zip(cfg.skip_levels, a[:-1])), a[-1], scales=scales,
         foveal_factors=cfg.foveal_scales, image_hw=(64, 64),
         output_size=cfg.roi_output_size, mode="exact_max",
-        combine="concat"))(*[raw[l] for l in cfg.skip_levels], rois)
+        combine="concat")))(*[raw[l] for l in cfg.skip_levels], rois)
     off = 0
     want = None
     for l in cfg.skip_levels:
@@ -341,11 +342,11 @@ def test_foveal_topology_reference_vs_dense():
     rng = jax.random.key(7)
     images = jax.random.uniform(rng, (1, 64, 64, 3))
     rois = jnp.asarray([[[4, 4, 40, 40], [8, 16, 30, 60]]], jnp.float32)
-    params = ref_model.init(jax.random.key(0), images, rois)
+    params = jinit(ref_model, jax.random.key(0), images, rois)
 
-    feats = ref_model.apply(params, images, method=MultiPathNet.features)
-    got = ref_model.apply(params, feats, rois, (64, 64),
-                          method=MultiPathNet.pool_rois)
+    feats = japply(ref_model, params, images, method=MultiPathNet.features)
+    got = japply(ref_model, params, feats, rois, (64, 64),
+                 method=MultiPathNet.pool_rois)
     assert got.shape[1] == len(base.foveal_scales)  # F preserved
 
     # oracle: per-(view, level) single pools, then the reference combination
@@ -357,7 +358,7 @@ def test_foveal_topology_reference_vs_dense():
                 foveal_factors=factors, image_hw=(64, 64),
                 output_size=base.roi_output_size,
                 samples_per_bin=base.roi_samples_per_bin, combine="sum")
-        return jax.vmap(w)(feats[level], rois)
+        return jax.jit(jax.vmap(w))(feats[level], rois)
 
     f0 = base.foveal_scales[:1]
     rest = base.foveal_scales[1:]
@@ -370,8 +371,8 @@ def test_foveal_topology_reference_vs_dense():
     # dense differs (context views gain c3/c4 content)
     dense_model = build_model(dataclasses.replace(
         base, foveal_topology="dense"))
-    got_d = dense_model.apply(params, feats, rois, (64, 64),
-                              method=MultiPathNet.pool_rois)
+    got_d = japply(dense_model, params, feats, rois, (64, 64),
+                   method=MultiPathNet.pool_rois)
     assert np.abs(np.asarray(got_d[:, 1:]) - np.asarray(got[:, 1:])).max() > 1e-3
     # ...but the 1x view is identical in both topologies
     np.testing.assert_allclose(np.asarray(got_d[:, 0]), np.asarray(got[:, 0]),
@@ -406,9 +407,9 @@ def test_roi_mode_max_windowed_equals_direct_for_small_rois():
     # are finer, so smaller spans there too... keep boxes <= 28px for c3@2
     rois = jnp.asarray([[[4, 4, 30, 30], [8, 16, 30, 40], [40, 30, 62, 58]]],
                        jnp.float32)
-    params = m_direct.init(jax.random.key(0), images, rois)
-    s_d, d_d = m_direct.apply(params, images, rois)
-    s_w, d_w = m_window.apply(params, images, rois)
+    params = jinit(m_direct, jax.random.key(0), images, rois)
+    s_d, d_d = japply(m_direct, params, images, rois)
+    s_w, d_w = japply(m_window, params, images, rois)
     np.testing.assert_allclose(np.asarray(s_w), np.asarray(s_d),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(d_w), np.asarray(d_d),

@@ -127,10 +127,16 @@ def test_e2e_segmentation_protocol(tmp_path):
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, num_classes=5))
     trainer = Trainer(cfg, mesh=make_mesh(n_data=2))
     pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
-    state = trainer.init_state()
-    for ep in range(20):
-        for batch in pipe.epoch(ep):
-            state, _ = trainer.step(state, batch)
+    from state_cache import cached_state
+
+    def build():
+        state = trainer.init_state()
+        for ep in range(20):
+            for batch in pipe.epoch(ep):
+                state, _ = trainer.step(state, batch)
+        return state
+
+    state = cached_state("segm-e2e-20ep", build)
 
     tester = Tester(trainer.model, state.params, cfg, loader, props,
                     batch_size=2)

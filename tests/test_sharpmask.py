@@ -134,6 +134,17 @@ def test_decode_masks_pyramid_matches_direct(setup):
     assert np.abs(probs["pyramid"] - probs["direct"]).mean() < 0.02
 
 
+def test_proposal_trainer_step_smoke(setup):
+    """One LIVE ProposalTrainer.step (finite loss, step increments): the
+    30-epoch overfit below is memoized across runs (state_cache), so this
+    keeps the proposal train-step graph exercised on every warm run."""
+    cfg, trainer, pipe, loader = setup
+    state = trainer.init_state()
+    state2, m = trainer.step(state, next(pipe.epoch(0)))
+    assert np.isfinite(float(m["loss"]))
+    assert int(state2.step) == 1
+
+
 @pytest.fixture(scope="module")
 def trained_proposal_state(setup):
     """30-epoch proposal-net overfit, shared by the slow tests below.
@@ -142,14 +153,20 @@ def trained_proposal_state(setup):
     recall@.5 0.952; ep120 reaches 0.800/0.859/0.950/1.000. (The r3
     square-anchor single-stage net measured med 0.19, frac@.5 ~0.12,
     oracle 0.686 — VERDICT r3 weak #3.)"""
+    from state_cache import cached_state
+
     cfg, trainer, pipe, loader = setup
-    state = trainer.init_state()
-    losses = []
-    for ep in range(30):
-        for batch in pipe.epoch(ep):
-            state, m = trainer.step(state, batch)
-            losses.append(float(m["loss"]))
-    return state, losses
+
+    def build():
+        state = trainer.init_state()
+        losses = []
+        for ep in range(30):
+            for batch in pipe.epoch(ep):
+                state, m = trainer.step(state, batch)
+                losses.append(float(m["loss"]))
+        return state, losses
+
+    return cached_state("sharpmask-prop-30ep-lr5e-3-seed21", build)
 
 
 def _proposal_quality(trainer, state, loader, refine, top_k=32):
@@ -289,19 +306,29 @@ def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
         ids.append(det_loader.image_id(i))
     gen_props = ProposalStore.from_lists(boxes_per, scores_per, ids)
 
-    def train_detector(props, epochs):
+    from state_cache import cached_state
+
+    def train_detector(props, epochs, token):
         det = Trainer(cfg, mesh=make_mesh(n_data=2))
         pipe = DetectionPipeline(det_loader, props, cfg.data, batch_size=2,
                                  seed=0)
-        state = det.init_state()
-        for ep in range(epochs):
-            for batch in pipe.epoch(ep):
-                state, _ = det.step(state, batch)
-        return det, state
 
-    det_j, state_j = train_detector(jit_props, 25)  # converges fast (tight)
-    det_g, state_g = train_detector(gen_props, 100)  # 0.354/0.448/0.562
-    # at 25/50/100 ep (r4 sweep) — still rising at the budget cap
+        def build():
+            state = det.init_state()
+            for ep in range(epochs):
+                for batch in pipe.epoch(ep):
+                    state, _ = det.step(state, batch)
+            return state
+
+        # gen_props is itself a pure function of the cached proposal state
+        # (fixed seeds), so the source-hash key covers it transitively.
+        return det, cached_state(token, build)
+
+    det_j, state_j = train_detector(jit_props, 25,
+                                    "c5loop-det-jit-25ep")  # converges fast
+    det_g, state_g = train_detector(gen_props, 100,
+                                    "c5loop-det-gen-100ep")  # 0.354/0.448/
+    # 0.562 at 25/50/100 ep (r4 sweep) — still rising at the budget cap
 
     ap_jit = Tester(det_j.model, state_j.params, cfg, det_loader, jit_props,
                     batch_size=2).test()["AP50"]

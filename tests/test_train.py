@@ -160,14 +160,14 @@ def test_freeze_stop_gradient_zeroes_grads_without_mask():
     for name in ("vgg16", "resnet18", "alexnet", "tinynet"):
         bb = get_backbone(name, jnp.float32, freeze_stages=2)
         x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3))
-        variables = bb.init(jax.random.key(0), x)
+        variables = jax.jit(bb.init)(jax.random.key(0), x)
 
         def loss(v):
             feats = bb.apply(v, x)
             return sum(jnp.sum(f.astype(jnp.float32) ** 2)
                        for f in feats.values())
 
-        grads = jax.grad(loss)(variables)["params"]
+        grads = jax.jit(jax.grad(loss))(variables)["params"]
         prefixes = type(bb).frozen_prefixes(2)
         flat = jax.tree_util.tree_flatten_with_path(grads)[0]
         saw_frozen = saw_live = False

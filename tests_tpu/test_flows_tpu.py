@@ -211,9 +211,12 @@ def test_svd_factored_head_on_chip(rng):
     outs = {}
     params = None
     full = fc  # full rank: fc6 min(7*7*red, fc) = fc; fc7 min(fc, fc) = fc
+    # Plain int8-vs-float on chip is already pinned by
+    # test_int8_head_matches_float_on_chip — compiling that 4th full-model
+    # config here only bought a finiteness check for ~3 min of chip
+    # compile, so it was dropped (r4 suite-time pass).
     for tag, hq, rank in (("float", "none", 0),
                           ("svd", "none", full),
-                          ("int8", "int8", 0),
                           ("int8_svd", "int8", full)):
         cfg = base.replace(
             model=dataclasses.replace(base.model, head_quant=hq,
@@ -234,7 +237,7 @@ def test_svd_factored_head_on_chip(rng):
         bx, pb = sf(pa, *inputs[:3])
         outs[tag] = (np.asarray(bx), np.asarray(pb))
 
-    for tag in ("svd", "int8", "int8_svd"):
+    for tag in ("svd", "int8_svd"):
         assert np.isfinite(outs[tag][0]).all(), tag
         assert np.isfinite(outs[tag][1]).all(), tag
     # (a) full-rank float factorization == float head (bf16 rounding only)
