@@ -3,8 +3,8 @@
 The reference printed loss/AP to stdout. Here: JSONL rows (one per log step)
 with step, walltime, lr, per-head losses, imgs/sec — machine-readable for the
 bench harness and greppable by humans — plus optional TensorBoard scalar
-export (tensorboard_dir=...; uses the installed TF summary writer, degrades
-to a no-op with a warning if TF is unavailable).
+export (tensorboard_dir=...; self-contained event-file writer in
+utils/tbevents.py — no TensorFlow dependency).
 """
 
 from __future__ import annotations
@@ -26,13 +26,12 @@ class MetricsLogger:
             self._f = open(path, "a", buffering=1)
         self._tb = None
         if tensorboard_dir:
-            try:
-                # TF import is slow and optional — only paid when asked for
-                import tensorflow as tf
+            # Self-contained event-file writer (utils/tbevents.py): the
+            # format is ~60 bytes/record of hand-encoded proto, so export
+            # no longer depends on (or pays the ~35 s import of) TF.
+            from multipathnet_tpu.utils.tbevents import EventFileWriter
 
-                self._tb = tf.summary.create_file_writer(tensorboard_dir)
-            except Exception as e:  # pragma: no cover - env without TF
-                print(f"metrics: TensorBoard export disabled ({e})")
+            self._tb = EventFileWriter(tensorboard_dir)
         self._t0 = time.time()
 
     def log(self, step: int, **metrics) -> None:
@@ -46,12 +45,8 @@ class MetricsLogger:
                 row[k] = v
         if self._f:
             self._f.write(json.dumps(row) + "\n")
-        if self._tb is not None:
-            import tensorflow as tf
-
-            with self._tb.as_default():
-                for k, v in scalars.items():
-                    tf.summary.scalar(k, v, step=int(step))
+        if self._tb is not None and scalars:
+            self._tb.add_scalars(int(step), scalars)
         if self.echo:
             parts = " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"

@@ -47,13 +47,17 @@ def test_integral_softmax_averaging_protocol():
 
 
 def test_metrics_tensorboard_export(tmp_path):
-    """Optional TB export writes event files readable by TF (SURVEY.md §5
-    metrics row: 'optional TensorBoard via TF')."""
+    """TB export writes tfevents files (SURVEY.md §5 metrics row) via the
+    self-contained writer (utils/tbevents.py — no TF import; the previous
+    TF-backed version cost this suite ~36 s of `import tensorflow` alone).
+    Round-trips through the CRC-verifying reader. TF cross-check
+    (tf.compat.v1.train.summary_iterator reads this exact writer's output,
+    simple_value scalars intact) performed 2026-08-19; the byte-golden test
+    below pins the format so it can't drift from what TF verified."""
     import os
 
-    tf = pytest.importorskip("tensorflow")
-
     from multipathnet_tpu.utils.metrics import MetricsLogger
+    from multipathnet_tpu.utils.tbevents import read_scalars
 
     tb = str(tmp_path / "tb")
     m = MetricsLogger(str(tmp_path / "m.jsonl"), echo=False,
@@ -63,10 +67,31 @@ def test_metrics_tensorboard_export(tmp_path):
     m.close()
     files = [f for f in os.listdir(tb) if "tfevents" in f]
     assert files, os.listdir(tb)
-    # round-trip one scalar
-    seen = {}
-    for e in tf.compat.v1.train.summary_iterator(os.path.join(tb, files[0])):
-        for v in e.summary.value:
-            if v.tag == "loss":
-                seen[e.step] = tf.make_ndarray(v.tensor).item()
-    assert seen.get(1) == 2.5 and seen.get(2) == 2.0, seen
+    seen = read_scalars(os.path.join(tb, files[0]))  # verify_crc=True
+    assert seen["loss"] == {1: 2.5, 2: 2.0}, seen
+    assert abs(seen["lr"][1] - 0.01) < 1e-7
+
+
+def test_tbevents_byte_golden():
+    """Pins the tfevents wire format byte-for-byte (fixed wall_time): record
+    framing, masked CRC32C, and the Event/Summary/Value proto encoding that
+    the 2026-08-19 TF cross-check validated. Any encoder change that would
+    break TensorBoard readability breaks this golden first."""
+    import struct
+
+    from multipathnet_tpu.utils.tbevents import (_masked_crc,
+                                                 encode_scalar_event)
+
+    ev = encode_scalar_event(3, 1700000000.0, {"loss": 1.5})
+    want = (b"\x09" + struct.pack("<d", 1700000000.0)      # wall_time = 1
+            + b"\x10\x03"                                  # step = 2 (3)
+            + b"\x2a\x0d"                                  # summary = 5
+            + b"\x0a\x0b"                                  # Summary.value
+            + b"\x0a\x04loss"                              # Value.tag
+            + b"\x15" + struct.pack("<f", 1.5))            # simple_value
+    assert ev == want, ev.hex()
+    # masked CRC32C test vector: crc32c(b"123456789") == 0xE3069283
+    crc = _masked_crc(b"123456789")
+    c = (crc - 0xA282EAD8) & 0xFFFFFFFF
+    unmasked = ((c << 15) | (c >> 17)) & 0xFFFFFFFF
+    assert unmasked == 0xE3069283, hex(unmasked)

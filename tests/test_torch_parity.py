@@ -9,6 +9,7 @@ pooling semantics vs the reference framework family.
 
 import jax.numpy as jnp
 import numpy as np
+from jitu import japply, jinit
 import pytest
 
 torch = pytest.importorskip("torch")
@@ -72,10 +73,10 @@ def test_vgg16_matches_torch():
     model = VGG16(dtype=jnp.float32)
     import jax
 
-    init = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    init = jinit(model, jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
     full = IW.install_backbone_params({"params": {"backbone": init["params"]}},
                                       flax_params)
-    feats = model.apply({"params": full["params"]["backbone"]},
+    feats = japply(model, {"params": full["params"]["backbone"]},
                         jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     for lvl in ("c3", "c4", "c5"):
         got = np.transpose(np.asarray(feats[lvl]), (0, 3, 1, 2))  # NHWC->NCHW
@@ -187,7 +188,7 @@ def test_resnet18_trunk_parity():
     model = ResNet18(dtype=jnp.float32)
     x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(
         np.float32)
-    variables = model.init(jnp.zeros(1, jnp.uint32) if False else
+    variables = jinit(model, jnp.zeros(1, jnp.uint32) if False else
                            __import__("jax").random.key(0),
                            jnp.asarray(x))
     variables = IW.install_backbone_variables(
@@ -195,7 +196,7 @@ def test_resnet18_trunk_parity():
          "batch_stats": {"backbone": variables["batch_stats"]}},
         params, stats)
 
-    out = model.apply({"params": variables["params"]["backbone"],
+    out = japply(model, {"params": variables["params"]["backbone"],
                        "batch_stats": variables["batch_stats"]["backbone"]},
                       jnp.asarray(x))
     with torch.no_grad():
@@ -287,13 +288,13 @@ def test_resnet_bottleneck_trunk_parity(depth):
     model = (ResNet50 if depth == 50 else ResNet101)(dtype=jnp.float32)
     x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(
         np.float32)
-    variables = model.init(__import__("jax").random.key(0), jnp.asarray(x))
+    variables = jinit(model, __import__("jax").random.key(0), jnp.asarray(x))
     variables = IW.install_backbone_variables(
         {"params": {"backbone": variables["params"]},
          "batch_stats": {"backbone": variables["batch_stats"]}},
         params, stats)
 
-    out = model.apply({"params": variables["params"]["backbone"],
+    out = japply(model, {"params": variables["params"]["backbone"],
                        "batch_stats": variables["batch_stats"]["backbone"]},
                       jnp.asarray(x))
     with torch.no_grad():
@@ -466,7 +467,7 @@ def test_full_model_parity_reference_mode():
         head_state[f"classifier.{k}.bias"] = \
             tm.classifier[k].bias.detach().numpy()
 
-    variables = model.init(jax.random.key(0), jnp.asarray(img),
+    variables = jinit(model, jax.random.key(0), jnp.asarray(img),
                            jnp.asarray(rois[None]))
     variables = IW.install_backbone_params(
         dict(variables), IW.vgg16_params_from_state_dict(state))
@@ -474,7 +475,7 @@ def test_full_model_parity_reference_mode():
         variables, IW.multipath_head_params_from_state_dict(
             head_state, skip_channels=skip_channels))
 
-    scores, deltas = model.apply(variables, jnp.asarray(img),
+    scores, deltas = japply(model, variables, jnp.asarray(img),
                                  jnp.asarray(rois[None]))
     np.testing.assert_allclose(np.asarray(scores)[0], want_s.numpy(),
                                atol=2e-3, rtol=1e-3)
@@ -614,11 +615,11 @@ def test_t7_automap_full_model_parity(tmp_path):
         [x1, y1, x1 + rng.uniform(8, 24, (5, 1)).astype(np.float32),
          y1 + rng.uniform(8, 24, (5, 1)).astype(np.float32)], axis=1)
 
-    variables = model.init(jax.random.key(0), jnp.asarray(img),
+    variables = jinit(model, jax.random.key(0), jnp.asarray(img),
                            jnp.asarray(rois[None]))
     variables = t7_import.import_model_t7(str(path), variables)
 
-    scores, deltas = model.apply(variables, jnp.asarray(img),
+    scores, deltas = japply(model, variables, jnp.asarray(img),
                                  jnp.asarray(rois[None]))
     with torch.no_grad():
         want_s, want_b = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)),
