@@ -210,6 +210,10 @@ def main() -> None:
             companions[key] = round(measure(name, args, raw_inputs), 3)
 
     cfg = preset(args.preset)
+    if args.backbone:
+        # keep the emitted metric label consistent with what measure() built
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model, backbone=args.backbone))
     b, p_, s = args.batch, args.proposals, args.canvas
     record = {
         "metric": f"images/sec/chip (MultiPath {cfg.model.backbone}"

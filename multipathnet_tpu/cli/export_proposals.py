@@ -27,6 +27,13 @@ def main(argv=None) -> None:
     p.add_argument("--output", required=True, help="output proposals .npz")
     p.add_argument("--top-k", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--with-masks", action="store_true",
+                   help="decode a segmentation mask per proposal and store "
+                        "it as compressed RLE alongside the boxes — the "
+                        "reference's DeepMask/SharpMask proposal files were "
+                        "mask proposals (SURVEY.md §0); this makes the "
+                        "exported .npz the same artifact shape")
+    p.add_argument("--mask-threshold", type=float, default=0.5)
     args = p.parse_args(argv)
 
     cfg = common.build_config(args)
@@ -59,8 +66,10 @@ def main(argv=None) -> None:
     @jax.jit
     def run(params, images):
         out = generate_proposals(trainer.model, params, images,
-                                 top_k=args.top_k, with_masks=False)
-        return out["boxes"], out["scores"]
+                                 top_k=args.top_k,
+                                 with_masks=args.with_masks)
+        return (out["boxes"], out["scores"],
+                out.get("masks", jax.numpy.zeros((0,))))
 
     sizes = {loader.image_size(i) for i in range(len(loader))}
     if len(sizes) != 1:
@@ -69,7 +78,7 @@ def main(argv=None) -> None:
             f"(got {sorted(sizes)[:4]}...); resize offline or extend with "
             "the padded-canvas path used by the detector pipeline")
 
-    boxes_per, scores_per, ids = [], [], []
+    boxes_per, scores_per, ids, rles = [], [], [], []
     bs = args.batch_size
     n = len(loader)
     for s in range(0, n, bs):
@@ -77,16 +86,27 @@ def main(argv=None) -> None:
         raw = np.stack([loader.load_image(i) for i in
                         idxs + [idxs[-1]] * (bs - len(idxs))])
         images = normalize(jnp.asarray(raw))
-        b, sc = run(state.params, images)
+        b, sc, mk = run(state.params, images)
         b, sc = np.asarray(b), np.asarray(sc)
         for j, i in enumerate(idxs):
             boxes_per.append(b[j])
             scores_per.append(sc[j])
             ids.append(loader.image_id(i))
+            if args.with_masks:
+                from multipathnet_tpu.data import rle as rle_codec
+
+                h, w = loader.image_size(i)
+                rles.extend(rle_codec.masks_to_rles(
+                    np.asarray(mk[j]), b[j], h, w,
+                    threshold=args.mask_threshold))
         print(f"\r{min(s + bs, n)}/{n} images", end="", flush=True)
     print()
-    ProposalStore.from_lists(boxes_per, scores_per, ids).save(args.output)
-    print(f"wrote {args.output}: {len(ids)} images x {args.top_k} proposals")
+    store = ProposalStore.from_lists(boxes_per, scores_per, ids)
+    if args.with_masks:
+        store.rles = rles
+    store.save(args.output)
+    print(f"wrote {args.output}: {len(ids)} images x {args.top_k} proposals"
+          + (" (+RLE masks)" if args.with_masks else ""))
 
 
 if __name__ == "__main__":

@@ -157,6 +157,52 @@ def to_bbox(rle: dict) -> np.ndarray:
     return np.array([x0, y0, x1 - x0 + 1, y1 - y0 + 1], np.float32)
 
 
+def paste_mask(mask: np.ndarray, box, height: int, width: int,
+               threshold: float = 0.5) -> np.ndarray:
+    """Paste an (m, m) probability mask predicted for `box` (x1,y1,x2,y2
+    image coords) into a full (height, width) binary mask.
+
+    This rasterizes SharpMaskNet.decode_masks output into the image frame —
+    the step that turns net mask logits into the RLE payload the reference's
+    DeepMask/SharpMask proposal files carried (SURVEY.md §0/§2.2). Bilinear
+    sampling at pixel centers with the same geometry decode_masks pooled
+    under (the m x m grid spans the box), pure NumPy, edge-clamped."""
+    out = np.zeros((height, width), np.uint8)
+    x1, y1, x2, y2 = [float(v) for v in box]
+    xi1, yi1 = max(int(np.floor(x1)), 0), max(int(np.floor(y1)), 0)
+    xi2, yi2 = min(int(np.ceil(x2)), width), min(int(np.ceil(y2)), height)
+    bw, bh = x2 - x1, y2 - y1
+    if xi2 <= xi1 or yi2 <= yi1 or bw <= 0 or bh <= 0:
+        return out
+    m = mask.shape[0]
+    mask = np.asarray(mask, np.float32)
+    # target pixel centers -> source mask coords (align_corners=False)
+    us = (np.arange(xi1, xi2) + 0.5 - x1) / bw * m - 0.5
+    vs = (np.arange(yi1, yi2) + 0.5 - y1) / bh * m - 0.5
+    u0 = np.clip(np.floor(us).astype(np.int64), 0, m - 1)
+    v0 = np.clip(np.floor(vs).astype(np.int64), 0, m - 1)
+    u1 = np.minimum(u0 + 1, m - 1)
+    v1 = np.minimum(v0 + 1, m - 1)
+    fu = np.clip(us - u0, 0.0, 1.0)[None, :]
+    fv = np.clip(vs - v0, 0.0, 1.0)[:, None]
+    patch = (mask[np.ix_(v0, u0)] * (1 - fv) * (1 - fu)
+             + mask[np.ix_(v0, u1)] * (1 - fv) * fu
+             + mask[np.ix_(v1, u0)] * fv * (1 - fu)
+             + mask[np.ix_(v1, u1)] * fv * fu)
+    out[yi1:yi2, xi1:xi2] = patch > threshold
+    return out
+
+
+def masks_to_rles(masks, boxes, height: int, width: int,
+                  threshold: float = 0.5) -> list:
+    """(K, m, m) probability masks + (K, 4) boxes -> K compressed RLE dicts
+    in the image frame. The proposal-export path (cli/export_proposals
+    --with-masks): generated proposals become the same artifact shape the
+    reference consumed from DeepMask/SharpMask .t7 files."""
+    return [encode(paste_mask(mk, bx, height, width, threshold=threshold))
+            for mk, bx in zip(np.asarray(masks), np.asarray(boxes))]
+
+
 def polys_to_mask(polys, height: int, width: int) -> np.ndarray:
     """Rasterize COCO polygon segmentation -> binary mask (h, w).
 

@@ -152,7 +152,10 @@ def map_multipath_nn_graph(obj: T7Object):
         if len(lins) != 2:
             return None
         (o6, i6), (o7, i7) = _linear_shape(lins[0]), _linear_shape(lins[1])
-        return lins if (o6 == i7 and o7 == i7) else None
+        # Only the CHAIN condition (fc6.out feeds fc7.in) defines a branch;
+        # requiring a square fc7 would wrongly reject valid non-square heads
+        # (advisor finding, r4).
+        return lins if o6 == i7 else None
 
     foveal = None
     for m in mods:
@@ -168,7 +171,9 @@ def map_multipath_nn_graph(obj: T7Object):
     if foveal is None:
         raise ValueError("no parallel container of fc6->fc7 branches found "
                          "(foveal bank)")
-    fc_dim = _linear_shape(foveal[0][0])[0]
+    # The concat the classifier consumes is built from fc7 OUTPUTS — derive
+    # fc_dim from fc7, not fc6 (they only coincide when fc7 is square).
+    fc_dim = _linear_shape(foveal[0][1])[0]
     for i, (l6, l7) in enumerate(foveal):
         head_state[f"fc6.{i}.weight"] = np.asarray(l6["weight"], np.float32)
         head_state[f"fc6.{i}.bias"] = np.asarray(l6["bias"], np.float32)

@@ -19,7 +19,10 @@ the reference, SURVEY.md §0). TPU-native reformulation on dense anchors:
 Stability note: the dense-anchor BCE is LR-sensitive — lr 2e-2 (the tiny
 preset's detector-overfit rate) oscillates at micro scale (r3's med-IoU
 0.19 -> 0.00 -> 0.25 collapse, reproduced + isolated 2026-08-19); lr 5e-3
-is monotone. Proposal-net runs should use ~5e-3 at these scales.
+is monotone. Since r5 ProposalTrainer clips gradients by global norm 2.0
+by default (set train.grad_clip_norm explicitly to override), which makes
+the 2e-2 fixture train monotonically (pinned in tests/test_sharpmask.py);
+~5e-3 remains the recommended recipe at these scales.
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ def sharpmask_loss(anchors, scores, deltas, mask_logits, gt_boxes,
                    gt_mask, gt_masks, *,
                    pos_iou=0.5, neg_iou=0.3,
                    ref_rois=None, ref_deltas=None, ref_logits=None,
-                   ref_pos_iou=0.5, ref_neg_iou=0.4,
+                   ref_valid=None, ref_pos_iou=0.5, ref_neg_iou=0.4,
                    bbox_reg_stds=(0.1, 0.1, 0.2, 0.2)):
     """Per-batch proposal losses. Shapes: anchors (N,4); scores (B,N);
     deltas (B,N,4); mask_logits (B,G,M,M); gt_boxes (B,G,4); gt_mask (B,G);
@@ -54,9 +57,12 @@ def sharpmask_loss(anchors, scores, deltas, mask_logits, gt_boxes,
 
     Stage-2 cascade terms (r4): ref_rois (B,K,4) are the boxes the refine
     head saw (stage-1 decodes + jittered GT — make_proposal_train_step),
-    ref_deltas/ref_logits its outputs. Matching is per-ROI like the anchor
-    terms but with a tighter negative band (a box at IoU 0.4-0.5 is neither
-    a good proposal nor clearly background for the re-scorer)."""
+    ref_deltas/ref_logits its outputs, ref_valid (B,K) masks out ROIs that
+    came from PADDED GT rows (those jitter to degenerate origin boxes and
+    would train the re-scorer on off-distribution negatives — advisor, r4).
+    Matching is per-ROI like the anchor terms but with a tighter negative
+    band (a box at IoU 0.4-0.5 is neither a good proposal nor clearly
+    background for the re-scorer)."""
     iou = box_ops.iou_matrix(anchors[None], gt_boxes)      # (B, N, G)
     iou = jnp.where(gt_mask[:, None, :], iou, -1.0)
     best_iou = iou.max(-1)                                  # (B, N)
@@ -96,8 +102,10 @@ def sharpmask_loss(anchors, scores, deltas, mask_logits, gt_boxes,
         iou_r = jnp.where(gt_mask[:, None, :], iou_r, -1.0)
         best_r = iou_r.max(-1)
         best_rgt = iou_r.argmax(-1)
-        pos_r = best_r >= ref_pos_iou
-        neg_r = best_r < ref_neg_iou
+        if ref_valid is None:
+            ref_valid = jnp.ones(ref_rois.shape[:2], bool)
+        pos_r = (best_r >= ref_pos_iou) & ref_valid
+        neg_r = (best_r < ref_neg_iou) & ref_valid
         bce_r = optax.sigmoid_binary_cross_entropy(
             ref_logits, pos_r.astype(jnp.float32))
         np_r = jnp.maximum(pos_r.sum(), 1.0)
@@ -165,6 +173,10 @@ def make_proposal_train_step(model: SharpMaskNet, cfg: Config, tx,
                 jnp.concatenate([c - half, c + half], -1),
                 float(h), float(w))
             ref_rois = jnp.concatenate([b1, jit_gt], axis=1)
+            # stage-1 decodes are always live; jittered rows inherit the GT
+            # validity mask so padded GT never trains the refine head
+            ref_valid = jnp.concatenate(
+                [jnp.ones(b1.shape[:2], bool), batch.gt_mask], axis=1)
             ref_deltas, ref_logits = model.apply(
                 variables, feats, ref_rois, (h, w), impl="direct",
                 method=SharpMaskNet.refine_boxes)
@@ -172,7 +184,7 @@ def make_proposal_train_step(model: SharpMaskNet, cfg: Config, tx,
                 anchors, scores, deltas, mask_logits, gt_boxes,
                 batch.gt_mask, batch.gt_masks,
                 ref_rois=ref_rois, ref_deltas=ref_deltas,
-                ref_logits=ref_logits)
+                ref_logits=ref_logits, ref_valid=ref_valid)
 
         (_, metrics), grads_tr = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params["params"])
@@ -187,20 +199,28 @@ def make_proposal_train_step(model: SharpMaskNet, cfg: Config, tx,
     return step
 
 
+def _replace_train(cfg: Config, **kw) -> Config:
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, **kw))
+
+
 class ProposalTrainer:
     """Trainer for the proposal network (mirrors train.loop.Trainer)."""
 
     def __init__(self, cfg: Config, mesh=None, anchor_scales=None,
                  neck_level: str | None = None):
         self.cfg = cfg
-        if cfg.train.lr > 1e-2:
-            import sys
-
-            print(f"WARNING: proposal-net training at lr={cfg.train.lr} — "
-                  "the dense-anchor BCE measured UNSTABLE at lr>=2e-2 "
-                  "(med-IoU collapse, r3's '30/60/90 oscillation'); "
-                  "~5e-3 is the stable range at small scales "
-                  "(train/proposal.py docstring)", file=sys.stderr)
+        if cfg.train.grad_clip_norm <= 0:
+            # Structural footgun gate (r4 verdict): the dense-anchor BCE
+            # collapses at lr>=2e-2 without clipping (med IoU 0.275->0.028,
+            # r3/r4 fixtures). Instead of warning, clip by global norm by
+            # default; tests/test_sharpmask.py pins that the 2e-2 collapse
+            # fixture now trains monotonically. An explicit grad_clip_norm
+            # in the config (any value > 0) takes precedence.
+            cfg = _replace_train(cfg, grad_clip_norm=2.0)
+        self._train_cfg_effective = cfg.train
         size = min(cfg.data.image_size)
         if anchor_scales is None:
             # canvas-relative anchor sizes (objects span ~10-80% of images)

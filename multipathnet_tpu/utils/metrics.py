@@ -62,3 +62,5 @@ class MetricsLogger:
         if self._f:
             self._f.close()
         self.flush()
+        if self._tb is not None:
+            self._tb.close()

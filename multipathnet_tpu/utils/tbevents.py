@@ -61,6 +61,11 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    # Negative ints would loop forever (Python's >> never reaches 0) and
+    # proto int64 negatives need 10-byte two's-complement anyway; no caller
+    # here ever has one, so fail loudly instead of hanging (advisor, r4).
+    if n < 0:
+        raise ValueError(f"_varint requires n >= 0, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F

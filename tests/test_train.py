@@ -113,6 +113,46 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert float(m_a["loss"]) == float(m_b["loss"])
 
 
+def test_checkpoint_cross_mesh_portability(setup, tmp_path):
+    """r4 VERDICT #8: TP shards params AND momentum (core/mesh.py
+    tree_sharding), so a checkpoint written under a DP×TP mesh must restore
+    on a DIFFERENT mesh — a single device, and a different TP width —
+    bit-identically, and the restored state must take a working step.
+    Deploy-relevant the day a real pod appears: serving meshes rarely match
+    training meshes."""
+    from multipathnet_tpu.train.checkpoint import Checkpointer
+
+    cfg, _, pipe, *_ = setup
+    batch = next(pipe.epoch(3))
+
+    tr_a = Trainer(cfg, mesh=make_mesh(n_data=2, n_model=2))
+    state = tr_a.init_state()
+    for _ in range(2):  # two steps: non-trivial momentum in opt_state
+        state, _ = tr_a.step(state, batch)
+    host = jax.tree.map(np.asarray, (state.params, state.opt_state))
+    ck = Checkpointer(str(tmp_path / "xmesh"))
+    ck.save(state, force=True)
+    ck.wait()
+
+    # 1-device mesh and a WIDER TP mesh (fc_dim 64 shards 4-way; cls_bbox's
+    # 50-dim output falls back to replicated at TP4, col-parallel at TP2 —
+    # i.e. the restore also crosses a per-leaf layout change)
+    single = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    wide = make_mesh(n_data=2, n_model=4)
+    for mesh in (single, wide):
+        tr_b = Trainer(cfg, mesh=mesh)
+        restored = Checkpointer(str(tmp_path / "xmesh")).restore_latest(
+            tr_b.init_state())
+        assert int(np.asarray(restored.step)) == 2
+        got = jax.tree.map(np.asarray, (restored.params, restored.opt_state))
+        for a, b in zip(jax.tree_util.tree_leaves(host),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(a, b)
+        s2, m = tr_b.step(restored, batch)
+        assert np.isfinite(float(m["loss"]))
+        assert int(np.asarray(s2.step)) == 3
+
+
 def test_freeze_backbone_all_trunks():
     """NoBackprop analog (round-1 VERDICT weak #4): freezing must zero grads
     on the named stages for EVERY backbone, not just VGG."""
