@@ -20,9 +20,11 @@ Stability note: the dense-anchor BCE is LR-sensitive — lr 2e-2 (the tiny
 preset's detector-overfit rate) oscillates at micro scale (r3's med-IoU
 0.19 -> 0.00 -> 0.25 collapse, reproduced + isolated 2026-08-19); lr 5e-3
 is monotone. Since r5 ProposalTrainer clips gradients by global norm 2.0
-by default (set train.grad_clip_norm explicitly to override), which makes
-the 2e-2 fixture train monotonically (pinned in tests/test_sharpmask.py);
-~5e-3 remains the recommended recipe at these scales.
+by default WHEN lr > 1e-2 (the measured stability boundary; an explicit
+train.grad_clip_norm always wins), which makes the 2e-2 fixture train
+monotonically (pinned in tests/test_sharpmask.py) while leaving the
+calibrated 5e-3 recipe untouched; ~5e-3 remains the recommended recipe at
+these scales.
 """
 
 from __future__ import annotations
@@ -212,13 +214,18 @@ class ProposalTrainer:
     def __init__(self, cfg: Config, mesh=None, anchor_scales=None,
                  neck_level: str | None = None):
         self.cfg = cfg
-        if cfg.train.grad_clip_norm <= 0:
+        if cfg.train.grad_clip_norm <= 0 and cfg.train.lr > 1e-2:
             # Structural footgun gate (r4 verdict): the dense-anchor BCE
             # collapses at lr>=2e-2 without clipping (med IoU 0.275->0.028,
-            # r3/r4 fixtures). Instead of warning, clip by global norm by
-            # default; tests/test_sharpmask.py pins that the 2e-2 collapse
-            # fixture now trains monotonically. An explicit grad_clip_norm
-            # in the config (any value > 0) takes precedence.
+            # r3/r4 fixtures). Clip by global norm 2.0 by default — but ONLY
+            # above the measured 1e-2 stability boundary: unclipped global
+            # grad norms are the same in both regimes (p50 5-8, max ~23 at
+            # 5e-3 AND 2e-2, measured 2026-08-19), so the collapse is the
+            # LR itself and a clip that engaged everywhere would silently
+            # quarter the calibrated 5e-3 recipe (med IoU 0.588 -> 0.432 on
+            # the r4 fixture). With the clip, the 2e-2 collapse fixture
+            # trains monotonically (pinned in tests/test_sharpmask.py). An
+            # explicit grad_clip_norm in the config always takes precedence.
             cfg = _replace_train(cfg, grad_clip_norm=2.0)
         self._train_cfg_effective = cfg.train
         size = min(cfg.data.image_size)

@@ -166,11 +166,21 @@ def test_train_proposal_net_cli_feeds_export(workdir, capsys):
         "--dataset-root", str(workdir / "ds"),
         "--proposal-checkpoint-dir", ckpt_dir,
         "--output", out_npz, "--top-k", "8", "--batch-size", "4",
+        "--with-masks",
     ])
+    from multipathnet_tpu.data import rle as rle_codec
     from multipathnet_tpu.data.proposals import ProposalStore
 
     ps = ProposalStore.load(out_npz)
     assert len(ps) == 16 and ps.for_index(0)[0].shape == (8, 4)
+    # --with-masks: the exported artifact carries one RLE per proposal in
+    # the image frame (the reference's DeepMask proposal-file shape), and
+    # they survive the npz round trip as decodable masks
+    assert ps.rles is not None and len(ps.rles) == 16 * 8
+    some = ps.rles_for_image_id(int(ps.image_ids[0]))
+    assert len(some) == 8
+    m = rle_codec.decode(some[0])
+    assert m.shape == tuple(some[0]["size"])
 
 
 @pytest.mark.slow

@@ -152,7 +152,13 @@ def test_lr_footgun_gated_by_default_clip(setup):
     0.275 -> 0.028 — r4 forensics) and was only warned about. Since r5
     ProposalTrainer clips gradients by global norm 2.0 by default, and this
     fixture pins that the exact collapse configuration now trains cleanly:
-    finite everywhere, no loss explosion, final epoch below the first."""
+    finite everywhere, no loss explosion, final epoch below the first.
+
+    The gate engages ONLY above the measured 1e-2 stability boundary:
+    unclipped grad norms are the same at 5e-3 and 2e-2 (p50 5-8, max ~23,
+    2026-08-19) — the collapse is the LR, not spikes — and a clip that
+    engaged everywhere silently degraded the calibrated 5e-3 recipe
+    (med IoU 0.588 -> 0.432 on this fixture)."""
     from state_cache import cached_state
 
     cfg, _, pipe, loader = setup
@@ -160,6 +166,12 @@ def test_lr_footgun_gated_by_default_clip(setup):
     hot = ProposalTrainer(hot_cfg, mesh=make_mesh(n_data=2))
     # the structural gate engaged (grad_clip_norm was 0.0 in the preset)
     assert hot._train_cfg_effective.grad_clip_norm == 2.0
+    # ...and does NOT engage inside the stable regime (the 5e-3 recipe's
+    # calibrated op points must stay bit-identical to r4)
+    stable = ProposalTrainer(
+        cfg.replace(train=dataclasses.replace(cfg.train, lr=5e-3)),
+        mesh=make_mesh(n_data=2))
+    assert stable._train_cfg_effective.grad_clip_norm == 0.0
     # and an explicit user value is honored, not overridden
     explicit = ProposalTrainer(
         cfg.replace(train=dataclasses.replace(
@@ -190,11 +202,12 @@ def test_lr_footgun_gated_by_default_clip(setup):
 @pytest.fixture(scope="module")
 def trained_proposal_state(setup):
     """30-epoch proposal-net overfit, shared by the slow tests below.
-    r4 calibration (2026-08-19, lr 5e-3, aspect anchors + stage-2 cascade):
-    ep30 refined med IoU 0.588 / frac@.5 0.602 / oracle 0.830 /
-    recall@.5 0.952; ep120 reaches 0.800/0.859/0.950/1.000. (The r3
-    square-anchor single-stage net measured med 0.19, frac@.5 ~0.12,
-    oracle 0.686 — VERDICT r3 weak #3.)"""
+    r5 calibration (2026-08-19, lr 5e-3, aspect anchors + stage-2 cascade
+    + the ref_valid padded-GT fix, which shifted the op point from r4's
+    0.588/0.602/0.830/0.952): ep30 refined med IoU 0.512 / frac@.5 0.512 /
+    oracle 0.876 / recall@.5 1.000; ep60 reaches 0.696/0.742/0.908/1.000.
+    (The r3 square-anchor single-stage net measured med 0.19, frac@.5
+    ~0.12, oracle 0.686 — VERDICT r3 weak #3.)"""
     from state_cache import cached_state
 
     cfg, trainer, pipe, loader = setup
@@ -241,8 +254,9 @@ def test_generated_proposal_quality(setup, trained_proposal_state):
     generated median IoU >= 0.4, >= 30% of boxes at IoU >= 0.5, oracle
     ceiling (mean best-per-GT) >= 0.75 — and the stage-2 cascade must be
     the thing delivering the tightness (refined median clearly above the
-    stage-1 median). Measured at this exact op point 2026-08-19:
-    refined 0.588/0.602/0.830, stage-1 0.402/0.375/0.913."""
+    stage-1 median). Measured at the r5 op point (ref_valid fix)
+    2026-08-19: refined 0.512/0.512/0.876 rec 1.000 (r4 measured
+    0.588/0.602/0.830 with stage-1 at 0.402/0.375/0.913)."""
     cfg, trainer, pipe, loader = setup
     state, _ = trained_proposal_state
     med1, f50_1, oracle1, rec1 = _proposal_quality(trainer, state, loader,
@@ -287,8 +301,96 @@ def test_proposal_training_learns_objectness(setup, trained_proposal_state):
     assert recall >= 0.5, f"proposal recall@16 too low: {recall:.2f}"
 
 
+@pytest.fixture(scope="module")
+def trained_proposal_state_60(setup):
+    """60-epoch proposal-net op point for the closed-loop tests (r4 VERDICT
+    #4): the 30-ep net's proposals (med IoU 0.512) cap the gen-trained
+    detector at AP50 0.471-0.527 even at 200 detector epochs; the 60-ep
+    net (med 0.696 / f50 0.742 / oracle 0.908 / rec 1.000, measured
+    2026-08-19) lifts the same 100-ep detector to 0.629 — proposal quality,
+    not detector budget, was the binding constraint."""
+    from state_cache import cached_state
+
+    cfg, trainer, pipe, loader = setup
+
+    def build():
+        state = trainer.init_state()
+        losses = []
+        for ep in range(60):
+            for batch in pipe.epoch(ep):
+                state, m = trainer.step(state, batch)
+                losses.append(float(m["loss"]))
+        return state, losses
+
+    return cached_state("sharpmask-prop-60ep-lr5e-3-seed21", build)
+
+
+@pytest.fixture(scope="module")
+def det_fixture(setup, trained_proposal_state_60):
+    """Detector-side dataset (denser jitter) + BOTH proposal sources:
+    the jittered-GT store and generated proposals exported WITH masks
+    (the in-process analog of `cli/export_proposals --with-masks` — the
+    reference's DeepMask proposal-file artifact, SURVEY.md §0)."""
+    from multipathnet_tpu.data import rle as rle_codec
+    from multipathnet_tpu.data.transforms import normalize
+
+    cfg, _, _, loader = setup
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, foveal_topology="dense"))
+    sm_state, _ = trained_proposal_state_60
+
+    root2 = loader.image_root + "_det"
+    fx = synthetic.generate(root2, num_images=8, image_size=64,
+                            num_classes=4, proposals_per_image=24, seed=21)
+    det_loader = CocoLoader(fx["annotations"], fx["images"])
+    jit_props = ProposalStore.load(fx["proposals"])
+
+    sm_trainer = ProposalTrainer(cfg, mesh=make_mesh(n_data=2))
+    boxes_per, scores_per, ids, rles = [], [], [], []
+    for i in range(len(det_loader)):
+        x = jnp.asarray(normalize(jnp.asarray(det_loader.load_image(i))))[None]
+        out = generate_proposals(sm_trainer.model, sm_state.params, x,
+                                 top_k=32, with_masks=True)
+        b = np.asarray(out["boxes"][0])
+        boxes_per.append(b)
+        scores_per.append(np.asarray(out["scores"][0]))
+        ids.append(det_loader.image_id(i))
+        h, w = det_loader.image_size(i)
+        rles.extend(rle_codec.masks_to_rles(
+            np.asarray(out["masks"][0]), b, h, w))
+    gen_props = ProposalStore.from_lists(boxes_per, scores_per, ids)
+    gen_props.rles = rles
+    return cfg, det_loader, jit_props, gen_props
+
+
+@pytest.fixture(scope="module")
+def gen_trained_detector(setup, det_fixture):
+    """Detector trained ON the generated proposals (the closed loop's
+    matched train/eval distribution — the reference trained on offline
+    DeepMask files the same way, SURVEY.md §0)."""
+    from multipathnet_tpu.train.loop import Trainer
+    from state_cache import cached_state
+
+    cfg, det_loader, _, gen_props = det_fixture
+    det = Trainer(cfg, mesh=make_mesh(n_data=2))
+    pipe = DetectionPipeline(det_loader, gen_props, cfg.data, batch_size=2,
+                             seed=0)
+
+    def build():
+        state = det.init_state()
+        for ep in range(100):
+            for batch in pipe.epoch(ep):
+                state, _ = det.step(state, batch)
+        return state
+
+    # gen_props is a pure function of the cached proposal state (fixed
+    # seeds), so the source-hash key covers it transitively.
+    return det, cached_state("c5loop-det-gen-p60-100ep", build)
+
+
 @pytest.mark.slow
-def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
+def test_detector_ap_with_generated_proposals(setup, det_fixture,
+                                              gen_trained_detector):
     """Quantify the SharpMask->MultiPath loop (BASELINE config 5, round-1
     VERDICT #10): measure detector AP50 with *generated* proposals against
     the GT-jittered proposal files, end to end.
@@ -313,64 +415,35 @@ def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
 
     r4 attacked the proposal net itself (VERDICT r3 #3): aspect anchors +
     the stage-2 box cascade + the lr fix (the '30/60/90 oscillation' was
-    plain LR instability — see the setup fixture). Measured on this exact
-    op point (CPU, 2026-08-19): generated proposals med IoU 0.588 /
-    frac@.5 0.602 / oracle 0.830 (test_generated_proposal_quality), and
-    the closed loop rises 0.354 / 0.448 / 0.562 at 25/50/100 gen-training
-    epochs vs jit/jit 0.659 at 25. Asserts pin the converged op point at
-    the VERDICT's target bar: gen/gen >= 0.5 (was 0.3)."""
-    from multipathnet_tpu.data.transforms import normalize
+    plain LR instability — see the setup fixture), reaching gen/gen 0.562
+    vs jit/jit 0.659 at the 30-ep proposal op point.
+
+    r5 closed the remaining gap (r4 VERDICT #4) by raising PROPOSAL
+    quality, not detector budget: doubling detector epochs on the 30-ep
+    proposals moved 0.471 -> 0.527, while the 60-ep proposal net (med IoU
+    0.696 vs 0.512) lifts the same 100-ep detector to **0.629** vs jit/jit
+    0.659 (all measured 2026-08-19) — the distribution-shift diagnosis was
+    really a proposal-tightness ceiling. Assert raised to the VERDICT bar:
+    gen/gen >= 0.6."""
     from multipathnet_tpu.eval.tester import Tester
     from multipathnet_tpu.train.loop import Trainer
-
-    cfg, _, _, loader = setup
-    cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, foveal_topology="dense"))
-    sm_state, _ = trained_proposal_state
-
-    # fresh jittered-proposal store (denser than the sharpmask fixture's 8)
-    root2 = loader.image_root + "_det"
-    fx = synthetic.generate(root2, num_images=8, image_size=64,
-                            num_classes=4, proposals_per_image=24, seed=21)
-    det_loader = CocoLoader(fx["annotations"], fx["images"])
-    jit_props = ProposalStore.load(fx["proposals"])
-
-    # export generated proposals for the detector images (in-process analog
-    # of cli/export_proposals)
-    sm_trainer = ProposalTrainer(cfg, mesh=make_mesh(n_data=2))
-    boxes_per, scores_per, ids = [], [], []
-    for i in range(len(det_loader)):
-        x = jnp.asarray(normalize(jnp.asarray(det_loader.load_image(i))))[None]
-        out = generate_proposals(sm_trainer.model, sm_state.params, x,
-                                 top_k=32, with_masks=False)
-        boxes_per.append(np.asarray(out["boxes"][0]))
-        scores_per.append(np.asarray(out["scores"][0]))
-        ids.append(det_loader.image_id(i))
-    gen_props = ProposalStore.from_lists(boxes_per, scores_per, ids)
-
     from state_cache import cached_state
 
-    def train_detector(props, epochs, token):
-        det = Trainer(cfg, mesh=make_mesh(n_data=2))
-        pipe = DetectionPipeline(det_loader, props, cfg.data, batch_size=2,
-                                 seed=0)
+    cfg, det_loader, jit_props, gen_props = det_fixture
 
-        def build():
-            state = det.init_state()
-            for ep in range(epochs):
-                for batch in pipe.epoch(ep):
-                    state, _ = det.step(state, batch)
-            return state
+    det_j = Trainer(cfg, mesh=make_mesh(n_data=2))
+    jpipe = DetectionPipeline(det_loader, jit_props, cfg.data, batch_size=2,
+                              seed=0)
 
-        # gen_props is itself a pure function of the cached proposal state
-        # (fixed seeds), so the source-hash key covers it transitively.
-        return det, cached_state(token, build)
+    def build_jit():
+        state = det_j.init_state()
+        for ep in range(25):  # converges fast on the tight-jitter store
+            for batch in jpipe.epoch(ep):
+                state, _ = det_j.step(state, batch)
+        return state
 
-    det_j, state_j = train_detector(jit_props, 25,
-                                    "c5loop-det-jit-25ep")  # converges fast
-    det_g, state_g = train_detector(gen_props, 100,
-                                    "c5loop-det-gen-100ep")  # 0.354/0.448/
-    # 0.562 at 25/50/100 ep (r4 sweep) — still rising at the budget cap
+    state_j = cached_state("c5loop-det-jit-25ep", build_jit)
+    det_g, state_g = gen_trained_detector
 
     ap_jit = Tester(det_j.model, state_j.params, cfg, det_loader, jit_props,
                     batch_size=2).test()["AP50"]
@@ -378,8 +451,83 @@ def test_detector_ap_with_generated_proposals(setup, trained_proposal_state):
                     batch_size=2).test()["AP50"]
     print(f"AP50 jit/jit={ap_jit:.3f} gen-trained/gen-eval={ap_gen:.3f}")
     assert ap_jit > 0.5, f"detector failed to train: AP50={ap_jit:.3f}"
-    # the closed loop at its converged operating point (r4 measured 0.562
-    # with the cascade proposals; r3 shipped 0.36 against a 0.3 bar)
-    assert ap_gen >= 0.5, (
+    # the closed loop at its converged operating point (r5 measured 0.629
+    # with the 60-ep cascade proposals; r4 shipped 0.562 against a 0.5 bar,
+    # r3 0.36 against 0.3)
+    assert ap_gen >= 0.6, (
         f"gen-trained detector below the converged operating point: "
         f"gen/gen={ap_gen:.3f} (jit/jit={ap_jit:.3f})")
+
+
+@pytest.mark.slow
+def test_generated_mask_quality(setup, trained_proposal_state):
+    """r4 VERDICT missing #1: quantify the MASK half of config 5. For every
+    GT instance, take the best-box-IoU generated proposal (if >= 0.5),
+    paste its decode_masks output into the image frame (rle.paste_mask, the
+    export path's rasterizer) and measure binary mask IoU against the GT
+    polygon mask. The reference's identity was DeepMask/SharpMask MASK
+    proposals (SURVEY.md §0); box quality alone never measured the 'Sharp'
+    half. Measured at this op point (CPU, 2026-08-19): median mask IoU
+    0.879, mean 0.870, 21/21 GT matched at box IoU >= 0.5 (the 60-ep net
+    measures 0.884/0.897 — mask quality saturates earlier than box
+    quality)."""
+    from multipathnet_tpu.data import rle as rle_codec
+    from multipathnet_tpu.data.transforms import normalize
+    from multipathnet_tpu.ops.boxes import iou_matrix
+
+    cfg, trainer, pipe, loader = setup
+    state, _ = trained_proposal_state
+    mious, matched, total = [], 0, 0
+    for i in range(len(loader)):
+        x = jnp.asarray(normalize(jnp.asarray(
+            loader.load_image(i).astype(np.float32))))[None]
+        out = generate_proposals(trainer.model, state.params, x,
+                                 top_k=32, with_masks=True)
+        boxes = np.asarray(out["boxes"][0])
+        masks = np.asarray(out["masks"][0])
+        ann = loader.annotations(i)
+        h, w = loader.image_size(i)
+        iou = np.asarray(iou_matrix(jnp.asarray(boxes),
+                                    jnp.asarray(ann["boxes"])))
+        for g, seg in enumerate(ann["segmentations"]):
+            total += 1
+            j = int(iou[:, g].argmax())
+            if iou[j, g] < 0.5:
+                continue
+            matched += 1
+            gt = rle_codec.polys_to_mask(seg, h, w).astype(bool)
+            pm = rle_codec.paste_mask(masks[j], boxes[j], h, w).astype(bool)
+            union = np.logical_or(gt, pm).sum()
+            mious.append(np.logical_and(gt, pm).sum() / max(union, 1))
+    mious = np.asarray(mious)
+    print(f"mask IoU med={np.median(mious):.3f} mean={mious.mean():.3f} "
+          f"matched {matched}/{total}")
+    assert matched >= 0.7 * total, (matched, total)
+    assert np.median(mious) >= 0.7, float(np.median(mious))
+    assert mious.mean() >= 0.65, float(mious.mean())
+
+
+@pytest.mark.slow
+def test_segm_closed_loop_generated_masks(det_fixture, gen_trained_detector):
+    """The full segmentation closed loop (r4 VERDICT missing #1 'Done'
+    bar): GENERATED proposals + GENERATED masks (not fixture RLEs) carried
+    through detection into CocoEvaluator(mode='segm') — the reference's
+    COCO segmentation-challenge flow with our own proposal net supplying
+    the masks. Detections inherit their source proposal's RLE via the NMS
+    provenance indices (eval/tester.py)."""
+    from multipathnet_tpu.eval.tester import Tester
+
+    cfg, det_loader, _, gen_props = det_fixture
+    assert gen_props.rles is not None
+    det_g, state_g = gen_trained_detector
+    tester = Tester(det_g.model, state_g.params, cfg, det_loader, gen_props,
+                    batch_size=2)
+    bbox = tester.test()
+    segm = tester.test(mode="segm")
+    print(f"closed loop: bbox AP50={bbox['AP50']:.3f} "
+          f"segm AP50={segm['AP50']:.3f}")
+    # measured 2026-08-19 at the 60-ep proposal op point: segm AP50 0.629 ==
+    # bbox AP50 0.629 (generated masks at med IoU ~0.88 lose nothing at the
+    # 0.5 threshold); bars leave margin for platform numerics
+    assert segm["AP50"] >= 0.5, (bbox, segm)
+    assert segm["AP50"] >= bbox["AP50"] - 0.2, (bbox, segm)
