@@ -65,7 +65,25 @@ def score_batch(params, model: MultiPathNet, cfg: Config,
     rois_p = jnp.pad(rois, ((0, 0), (0, p_pad - p), (0, 0)))
     n_chunks = p_pad // chunk
 
+    # int8 serving + Pallas kernels: the head's bias/relu/quantize runs
+    # IN-KERNEL and the pool emits int8 + per-view scales directly — same
+    # math (roi_pallas._quant_view bit-mirrors quantize_rows), minus the
+    # pooled tensor's bf16 write -> read -> int8 rewrite (~3.2 GB of HBM
+    # at bench shapes; docs/PERF.md r5 stage table).
+    quantized_pool = (cfg.model.head_quant == "int8" and impl == "pallas"
+                      and cfg.model.roi_mode != "max")
+
+    skip_bias = (params["params"]["head"]["skip_bias"] if quantized_pool
+                 else None)
+
     def head_chunk(rois_c):  # (B, chunk, 4) -> scores, deltas
+        if quantized_pool:
+            pooled, pscale = model.apply(
+                params, feats, rois_c, canvas_hw, skip_bias,
+                method=MultiPathNet.pool_rois_quantized)
+            return model.apply(params, pooled,
+                               method=MultiPathNet.predict_rois,
+                               pooled_scale=pscale)
         pooled = model.apply(params, feats, rois_c, canvas_hw,
                              method=MultiPathNet.pool_rois)
         return model.apply(params, pooled, method=MultiPathNet.predict_rois)

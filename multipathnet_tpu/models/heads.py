@@ -93,10 +93,16 @@ class MultiPathHead(nn.Module):
     fc7_rank: int = 0
 
     @nn.compact
-    def __call__(self, pooled: jnp.ndarray, train: bool = False):
+    def __call__(self, pooled: jnp.ndarray, train: bool = False,
+                 pooled_scale=None):
         """pooled: (B, F, R, G, G, C) — level-summed, pre-reduced ROI
         features (C = skip_reduce_dim), one slab per foveal view. Returns
-        (scores (B*R, K, num_classes) f32, bbox_deltas (B*R, D) f32)."""
+        (scores (B*R, K, num_classes) f32, bbox_deltas (B*R, D) f32).
+
+        pooled_scale: per-view (B, F, R, 1) f32 scales when pooled arrives
+        PRE-QUANTIZED int8 from the pool kernels (pool_rois_quantized) —
+        bias/relu/quantize were already applied in-kernel, so this path
+        skips straight to the int8 branch GEMMs."""
         b, f, r, g, _, c = pooled.shape
         assert f == len(self.foveal_scales), (f, self.foveal_scales)
         assert c == self.skip_reduce_dim, (c, self.skip_reduce_dim)
@@ -114,19 +120,31 @@ class MultiPathHead(nn.Module):
         dense: Callable = (Int8Dense if self.quant == "int8" else nn.Dense)
         n = b * r
 
-        # shared bias + ReLU completing the ION-style reduction (the 1x1 convs
-        # ran per level on the trunk maps — see module docstring)
-        bias = self.param("skip_bias", nn.initializers.zeros, (c,))
-        x = nn.relu(pooled.astype(self.dtype) + bias.astype(self.dtype))
+        if pooled_scale is not None:
+            assert self.quant == "int8" and not train, (
+                "pre-quantized pooled input is int8-serving only",
+                self.quant, train)
+            assert pooled.dtype == jnp.int8, pooled.dtype
+            # keep the param in the tree (same leaf __call__ declares) even
+            # though the kernel already consumed it
+            self.param("skip_bias", nn.initializers.zeros, (c,))
+            xq = pooled.reshape(b, f, r, g * g * c)
+            xs = pooled_scale
+        else:
+            # shared bias + ReLU completing the ION-style reduction (the 1x1
+            # convs ran per level on the trunk maps — see module docstring)
+            bias = self.param("skip_bias", nn.initializers.zeros, (c,))
+            x = nn.relu(pooled.astype(self.dtype) + bias.astype(self.dtype))
 
-        # per-branch FC6/FC7 (each foveal view has its own head — §3.1).
-        # int8 path: quantize the pooled tensor ONCE (per-(roi,view) rows),
-        # then feed int8 slices — quantizing each branch's strided slice
-        # separately cost the entire int8 win (74.0 vs 75.4 img/s measured).
-        if self.quant == "int8":
-            from multipathnet_tpu.ops import quant as quant_ops
+            # per-branch FC6/FC7 (each foveal view has its own head — §3.1).
+            # int8 path: quantize the pooled tensor ONCE (per-(roi,view)
+            # rows), then feed int8 slices — quantizing each branch's strided
+            # slice separately cost the entire int8 win (74.0 vs 75.4 img/s).
+            if self.quant == "int8":
+                from multipathnet_tpu.ops import quant as quant_ops
 
-            xq, xs = quant_ops.quantize_rows(x.reshape(b, f, r, g * g * c))
+                xq, xs = quant_ops.quantize_rows(
+                    x.reshape(b, f, r, g * g * c))
         def factored(name, rank, xin, xin_scale=None):
             """One FC as (in -> rank) bias-free factor + (rank -> fc_dim)
             named layer, or the plain single GEMM when rank == 0. The int8

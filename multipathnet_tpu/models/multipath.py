@@ -84,12 +84,20 @@ class MultiPathNet(nn.Module):
         return [((fs[0],), ls), (tuple(fs[1:]), (ls[-1],))]
 
     def pool_rois(self, feats: dict, rois: jnp.ndarray,
-                  image_hw: tuple, train: bool = False) -> jnp.ndarray:
+                  image_hw: tuple, train: bool = False, quant_bias=None):
         """feats: level -> (B, Hl, Wl, C); rois (B, R, 4) image coords.
         -> (B, F, R, G, G, C).
 
         Implementation per cfg.roi_impl (training pins "direct", the
-        differentiable path — the Pallas kernel is forward-only)."""
+        differentiable path — the Pallas kernel is forward-only).
+
+        quant_bias: optional (C,) head-dtype skip bias (Pallas align path,
+        eval only). When given, bias/relu + the head's per-view int8
+        quantization run IN-KERNEL and the return is
+        ((B, F, R, G, G, C) int8, (B, F, R, 1) f32 scales) — the exact
+        input Int8Dense consumes, skipping the pooled tensor's bf16
+        write/read/int8-rewrite round trip (docs/PERF.md r5). Use
+        pool_rois_quantized for the param-aware entry point."""
         import jax
 
         impl = self.cfg.train_roi_impl if train else self.cfg.roi_impl
@@ -97,6 +105,10 @@ class MultiPathNet(nn.Module):
             impl = "pallas" if jax.default_backend() == "tpu" else "direct"
         if train and impl == "pyramid":
             impl = "direct"  # vmapped-slice path: pathological compile
+        assert quant_bias is None or (impl == "pallas" and not train
+                                      and self.cfg.roi_mode != "max"), (
+            "in-kernel quantized emission needs the eval Pallas align path",
+            impl, train, self.cfg.roi_mode)
 
         strides = self.backbone.feature_strides
         scales = {l: 1.0 / strides[l] for l in self.cfg.skip_levels}
@@ -183,7 +195,21 @@ class MultiPathNet(nn.Module):
         # VMEM once per image and windows become local copies — B*3 MB of
         # HBM traffic instead of N*160 KB (docs/PERF.md, resident row).
         resident_budget = 4 * 1024 * 1024  # bytes/image, 2x-buffered by Pallas
-        outs = []
+        qbias = None
+        if quant_bias is not None and pad_c:
+            qbias = jnp.pad(quant_bias, (0, pad_c))  # zero bias on pad lanes
+        elif quant_bias is not None:
+            qbias = quant_bias
+        outs, outs_s = [], []
+
+        def collect(out, nf):
+            if qbias is None:
+                outs.append(out[..., :c].reshape(b, nf, r, g, g, c))
+            else:
+                q, s = out
+                outs.append(q[..., :c].reshape(b, nf, r, g, g, c))
+                outs_s.append(s.reshape(b, nf, r, 1))
+
         for factors, levels in plan:
             nf = len(factors)
             views = jnp.stack(
@@ -203,8 +229,8 @@ class MultiPathNet(nn.Module):
                         pyramids[levels[0]][0], meta, vflat, b,
                         output_size=g,
                         samples_per_bin=self.cfg.roi_samples_per_bin,
-                        interpret=interp, trainable=False)[..., :c]
-                    outs.append(out.reshape(b, nf, r, g, g, c))
+                        interpret=interp, trainable=False, quant_bias=qbias)
+                    collect(out, nf)
                     continue
             img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nf * r)
             out = roi_pallas.batched_pyramid_pool_multi(
@@ -212,8 +238,11 @@ class MultiPathNet(nn.Module):
                 [pyramids[l][1] for l in levels],
                 vflat, img_idx, output_size=g,
                 samples_per_bin=self.cfg.roi_samples_per_bin,
-                interpret=interp, trainable=train)[..., :c]
-            outs.append(out.reshape(b, nf, r, g, g, c))
+                interpret=interp, trainable=train, quant_bias=qbias)
+            collect(out, nf)
+        if qbias is not None:
+            return (jnp.concatenate(outs, axis=1),
+                    jnp.concatenate(outs_s, axis=1))
         return jnp.concatenate(outs, axis=1)
 
     def _pool_rois_max(self, feats: dict, rois: jnp.ndarray,
@@ -279,14 +308,32 @@ class MultiPathNet(nn.Module):
             outs.append(out.reshape(b, f, r, g, g, out.shape[-1]))
         return jnp.concatenate(outs, axis=1)
 
-    def predict_rois(self, pooled: jnp.ndarray, train: bool = False):
+    def pool_rois_quantized(self, feats: dict, rois: jnp.ndarray,
+                            image_hw: tuple, skip_bias: jnp.ndarray):
+        """Eval Pallas align path with the head's bias/relu + per-view int8
+        quantization fused INTO the pool kernels (serving fast path,
+        head_quant="int8" only). skip_bias is the head's raw "skip_bias"
+        param (the caller reads it off the param tree — flax linen can't
+        declare/read a sibling's param from here). Returns
+        (pooled (B,F,R,G,G,C) int8, scales (B,F,R,1) f32) — feed both to
+        predict_rois. Bit-mirrors pool_rois -> heads'
+        relu(pooled+skip_bias) -> quantize_rows (roi_pallas._quant_view),
+        minus ~3.2 GB of HBM round trip at bench shapes (docs/PERF.md r5)."""
+        return self.pool_rois(feats, rois, image_hw, train=False,
+                              quant_bias=skip_bias.astype(self.head.dtype))
+
+    def predict_rois(self, pooled: jnp.ndarray, train: bool = False,
+                     pooled_scale=None):
         """pooled (B, F, R, G, G, C) -> scores (B, R, K, C), deltas (B, R, D).
 
         The head flattens (B, R) into one big GEMM batch internally; the
         natural layout goes in unchanged (no (F, B*R) transpose — it measured
-        7.75 ms on the 4 GB round-1 pooled tensor, docs/PERF.md)."""
+        7.75 ms on the 4 GB round-1 pooled tensor, docs/PERF.md).
+        pooled_scale: per-view f32 scales when pooled is the int8 output of
+        pool_rois_quantized."""
         b, r = pooled.shape[0], pooled.shape[2]
-        scores, deltas = self.head(pooled, train=train)
+        scores, deltas = self.head(pooled, train=train,
+                                   pooled_scale=pooled_scale)
         k = scores.shape[1]
         return (scores.reshape(b, r, k, -1), deltas.reshape(b, r, -1))
 

@@ -48,9 +48,17 @@ def quantize_rows(x: jnp.ndarray):
     """(..., K) float activations -> ((..., K) int8, (..., 1) f32 row scale).
 
     Dynamic symmetric per-row quantization (abs-max). All-zero rows get scale
-    eps (their int8 row is zero)."""
+    eps (their int8 row is zero).
+
+    The scale is amax * (1/127) as an EXPLICIT constant multiply, not
+    amax / 127: XLA rewrites division-by-constant into reciprocal multiply
+    in some fusion contexts but not others (observed CPU, 2026-08-19 — the
+    Pallas in-kernel copy of this formula got the rewrite, this one didn't,
+    and the 1-ULP scale gap flipped round() ties). One canonical op keeps
+    every implementation of this formula bit-identical."""
     xf = x.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    scale = (jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+             * jnp.float32(1.0 / 127.0))
     scale = jnp.maximum(scale, 1e-12)
     x_i8 = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
     return x_i8, scale

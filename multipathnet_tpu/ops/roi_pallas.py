@@ -46,6 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multipathnet_tpu.ops.roi_pyramid import WINDOW, WINDOW_X, Pyramid
 
+LANES = 128  # TPU lane width; per-view quant scales are emitted lane-wide
+
 
 def view_geometry(pyr: Pyramid, rois: jnp.ndarray, *, output_size: int = 7,
                   samples_per_bin: int = 2):
@@ -221,6 +223,23 @@ def _w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref, wycat, wxcat):
     a2 = _dot(_dot(ri_ref[...], wycat), eybd_ref[...])
     b2 = _dot(_dot(rj_ref[...], wxcat), exbd_ref[...])
     return a2 * b2
+
+
+def _quant_view(d, pool_dtype, bias_row):
+    """In-kernel replica of the head's bias/relu + ops.quant.quantize_rows
+    on ONE view's GEMM output d (G*G, C) f32. Cast order mirrors the XLA
+    path bit for bit: GEMM f32 -> pool dtype (what the bf16 kernel would
+    have stored) -> head dtype (bias_row's dtype) -> +bias, relu -> f32
+    abs-max row scale -> round/clip int8. Returns (q (G*G, C) int8,
+    s () f32)."""
+    y = jnp.maximum(d.astype(pool_dtype).astype(bias_row.dtype)
+                    + bias_row, 0).astype(jnp.float32)
+    # amax * (1/127), NOT amax / 127 — must stay the same single op as
+    # quantize_rows' (see its docstring: XLA's div-by-constant rewrite is
+    # fusion-context-dependent and a 1-ULP scale gap flips round() ties)
+    s = jnp.maximum(jnp.max(jnp.abs(y)) * jnp.float32(1.0 / 127.0), 1e-12)
+    q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+    return q, s
 
 
 def pallas_window_pool(flat: jnp.ndarray, row0: jnp.ndarray, x0: jnp.ndarray,
@@ -453,7 +472,7 @@ def batched_pyramid_pool(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
 def _multi_window_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
                               exbd_ref, wy_ref, wx_ref, *refs,
                               tile: int, g: int, n_levels: int,
-                              nslots: int = 2):
+                              nslots: int = 2, quant: bool = False):
     """Grid step: DMA tile x L windows (nslots-deep buffered), then ONE GEMM
     per view computes both the bilinear pooling AND the level sum: the L
     windows sit in one scratch slab read as (L*160, C), and the combined
@@ -466,7 +485,10 @@ def _multi_window_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
     out_ref + win scratch (nslots, tile, L, WINDOW, WINDOW_X, C) + sems.
     """
     flats = refs[:n_levels]
-    out_ref, win, sems = refs[n_levels], refs[n_levels + 1], refs[n_levels + 2]
+    if quant:
+        (bias_ref, out_ref, out_s_ref, win, sems) = refs[n_levels:]
+    else:
+        out_ref, win, sems = refs[n_levels:]
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
     c = flats[0].shape[-1]
@@ -502,6 +524,7 @@ def _multi_window_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
                       wy_ref[lv, 0], wx_ref[lv, 0])
               for lv in range(n_levels)]               # L x (G2P, tile*160)
     slot = i % nslots
+    srows = []
     for t in range(tile):
         for lv in range(n_levels):
             dma(i, slot, t, lv).wait()
@@ -509,12 +532,20 @@ def _multi_window_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
         w2 = jnp.concatenate(
             [w2alls[lv][:g * g, t * k:(t + 1) * k] for lv in range(n_levels)],
             axis=1).astype(w.dtype)                    # (G*G, L*160)
-        out_ref[t] = _dot(w2, w).astype(out_ref.dtype)  # (G*G, C)
+        d = _dot(w2, w)                                # (G*G, C) f32
+        if quant:
+            q, s_ = _quant_view(d, flats[0].dtype, bias_ref[0])
+            out_ref[t] = q
+            srows.append(jnp.full((LANES,), s_, jnp.float32))
+        else:
+            out_ref[t] = d.astype(out_ref.dtype)       # (G*G, C)
+    if quant:
+        out_s_ref[...] = jnp.stack(srows)              # (tile, LANES)
 
 
 def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
                              tile: int = 8, nslots: int = 2,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False, quant_bias=None):
     """Level-summed window pooling.
 
     flats: list of L (rows_l, Wmax_l, C) pyramids (same C); row0s/x0s/wys/wxs:
@@ -522,6 +553,13 @@ def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
     nslots: DMA buffer depth (2 = classic double buffering; deeper keeps more
     windows in flight at tile*L*window*C*nslots bytes of VMEM).
     Returns (N, G, G, C) = sum over levels of the per-level pooled features.
+
+    quant_bias: optional (C,) head-dtype skip bias. When given, the kernel
+    applies bias+relu and per-view int8 quantization IN-KERNEL (_quant_view —
+    bit-mirrors heads.py's relu + ops.quant.quantize_rows) and returns
+    ((N, G, G, C) int8, (N, 1) f32 scales) — the int8 serving head's exact
+    input layout, skipping the pooled tensor's bf16 write + re-read + int8
+    re-write (~3.2 GB of HBM at bench shapes, docs/PERF.md r5).
     """
     nl = len(flats)
     assert nl >= 1 and len({f.shape[-1] for f in flats}) == 1
@@ -542,36 +580,51 @@ def pallas_window_pool_multi(flats, row0s, x0s, wys, wxs, *,
     g2p, k = _g2p(g), WINDOW * WINDOW_X
 
     grid = (n_pad // tile,)
+    in_specs = [
+        pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+        pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
+        pl.BlockSpec((tile * WINDOW, tile * k),
+                     lambda i, *_: (0, 0)),
+        pl.BlockSpec((tile * WINDOW_X, tile * k),
+                     lambda i, *_: (0, 0)),
+        pl.BlockSpec((nl, 1, g, tile * WINDOW),
+                     lambda i, *_: (0, i, 0, 0)),
+        pl.BlockSpec((nl, 1, g, tile * WINDOW_X),
+                     lambda i, *_: (0, i, 0, 0)),
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * nl
+    operands = [row0.astype(jnp.int32), x0.astype(jnp.int32),
+                ri, rj, eybd, exbd, wycat, wxcat, *flats]
+    quant = quant_bias is not None
+    if quant:
+        in_specs.append(pl.BlockSpec((1, c), lambda i, *_: (0, 0)))
+        operands.append(quant_bias.reshape(1, c))
+        out_specs = (pl.BlockSpec((tile, g * g, c), lambda i, *_: (i, 0, 0)),
+                     pl.BlockSpec((tile, LANES), lambda i, *_: (i, 0)))
+        out_shape = (jax.ShapeDtypeStruct((n_pad, g * g, c), jnp.int8),
+                     jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32))
+    else:
+        out_specs = pl.BlockSpec((tile, g * g, c), lambda i, *_: (i, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((n_pad, g * g, c), flats[0].dtype)
     out = pl.pallas_call(
         partial(_multi_window_pool_kernel, tile=tile, g=g, n_levels=nl,
-                nslots=nslots),
+                nslots=nslots, quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # row0, x0 in SMEM
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
-                pl.BlockSpec((g2p, g), lambda i, *_: (0, 0)),
-                pl.BlockSpec((tile * WINDOW, tile * k),
-                             lambda i, *_: (0, 0)),
-                pl.BlockSpec((tile * WINDOW_X, tile * k),
-                             lambda i, *_: (0, 0)),
-                pl.BlockSpec((nl, 1, g, tile * WINDOW),
-                             lambda i, *_: (0, i, 0, 0)),
-                pl.BlockSpec((nl, 1, g, tile * WINDOW_X),
-                             lambda i, *_: (0, i, 0, 0)),
-            ] + [pl.BlockSpec(memory_space=pl.ANY)] * nl,
-            out_specs=pl.BlockSpec((tile, g * g, c),
-                                   lambda i, *_: (i, 0, 0)),
+            in_specs=in_specs,
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((nslots, tile, nl, WINDOW, WINDOW_X, c),
                            flats[0].dtype),
                 pltpu.SemaphoreType.DMA((nslots, tile, nl)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, g * g, c), flats[0].dtype),
+        out_shape=out_shape,
         interpret=interpret,
-    )(row0.astype(jnp.int32), x0.astype(jnp.int32),
-      ri, rj, eybd, exbd, wycat, wxcat, *flats)
+    )(*operands)
+    if quant:
+        q, s = out
+        return q[:n].reshape(n, g, g, c), s[:n, :1]
     return out[:n].reshape(n, g, g, c)
 
 
@@ -886,7 +939,7 @@ multi_window_pool_trainable.defvjp(_mwpt_fwd, _mwpt_bwd)
 
 def _resident_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
                           exbd_ref, wy_ref, wx_ref, flat_ref,
-                          out_ref, *, tile: int, g: int):
+                          *refs, tile: int, g: int, quant: bool = False):
     """Grid (B, V/tile): flat_ref is image b's pyramid, resident in VMEM.
 
     row0_ref/x0_ref (B, Vpad) SMEM, image-RELATIVE rows. wy_ref
@@ -902,6 +955,10 @@ def _resident_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
     0.79 us/view, fully compute-bound (docs/PERF.md, resident rows). The
     combined form is K=160, M=49: ~8x fewer MXU passes per view.
     """
+    if quant:
+        bias_ref, out_ref, out_s_ref = refs
+    else:
+        (out_ref,) = refs
     b = pl.program_id(0)
     j = pl.program_id(1)
     c = flat_ref.shape[-1]
@@ -909,22 +966,35 @@ def _resident_pool_kernel(row0_ref, x0_ref, ri_ref, rj_ref, eybd_ref,
 
     w2all = _w2_all(ri_ref, rj_ref, eybd_ref, exbd_ref,
                     wy_ref[0, 0], wx_ref[0, 0])         # (G2P, tile*160)
+    srows = []
     for t in range(tile):
         v = j * tile + t
         w = flat_ref[0, pl.ds(row0_ref[b, v], WINDOW),
                      pl.ds(pl.multiple_of(x0_ref[b, v], 8), WINDOW_X), :]
         w = w.reshape(k, c)                             # (160, C)
         w2 = w2all[:g * g, t * k:(t + 1) * k].astype(w.dtype)
-        out_ref[0, t] = _dot(w2, w).astype(out_ref.dtype)  # (G*G, C)
+        d = _dot(w2, w)                                 # (G*G, C) f32
+        if quant:
+            q, s_ = _quant_view(d, flat_ref.dtype, bias_ref[0])
+            out_ref[0, t] = q
+            srows.append(jnp.full((LANES,), s_, jnp.float32))
+        else:
+            out_ref[0, t] = d.astype(out_ref.dtype)     # (G*G, C)
+    if quant:
+        out_s_ref[0] = jnp.stack(srows)                 # (tile, LANES)
 
 
 def pallas_resident_pool(flat: jnp.ndarray, row0: jnp.ndarray,
                          x0: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray, *,
                          tile: int = 8,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False, quant_bias=None):
     """flat (B, rows, Wmax, C) per-image pyramids; row0/x0 (B, V)
     image-relative; wy (B, V, G, WINDOW), wx (B, V, G, WINDOW_X)
     -> (B, V, G, G, C). V is padded to a multiple of `tile` internally.
+
+    quant_bias: optional (C,) head-dtype skip bias — emit bias/relu'd int8
+    + per-view f32 scales instead (see pallas_window_pool_multi); returns
+    ((B, V, G, G, C) int8, (B, V, 1) f32).
     """
     b, v, g = wy.shape[:3]
     rows, wmax, c = flat.shape[1:]
@@ -940,35 +1010,53 @@ def pallas_resident_pool(flat: jnp.ndarray, row0: jnp.ndarray,
     g2p, k = _g2p(g), WINDOW * WINDOW_X
 
     grid = (b, v_pad // tile)
+    in_specs = [
+        pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
+        pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
+        pl.BlockSpec((tile * WINDOW, tile * k),
+                     lambda bi, j, *_: (0, 0)),
+        pl.BlockSpec((tile * WINDOW_X, tile * k),
+                     lambda bi, j, *_: (0, 0)),
+        pl.BlockSpec((1, 1, g, tile * WINDOW),
+                     lambda bi, j, *_: (bi, j, 0, 0)),
+        pl.BlockSpec((1, 1, g, tile * WINDOW_X),
+                     lambda bi, j, *_: (bi, j, 0, 0)),
+        # the whole per-image pyramid, pipelined per grid-b
+        pl.BlockSpec((1, rows, wmax, c),
+                     lambda bi, j, *_: (bi, 0, 0, 0)),
+    ]
+    operands = [row0.astype(jnp.int32), x0.astype(jnp.int32),
+                ri, rj, eybd, exbd,
+                _cat_layout(wy.astype(jnp.float32), tile),
+                _cat_layout(wx.astype(jnp.float32), tile), flat]
+    quant = quant_bias is not None
+    if quant:
+        in_specs.append(pl.BlockSpec((1, c), lambda bi, j, *_: (0, 0)))
+        operands.append(quant_bias.reshape(1, c))
+        out_specs = (pl.BlockSpec((1, tile, g * g, c),
+                                  lambda bi, j, *_: (bi, j, 0, 0)),
+                     pl.BlockSpec((1, tile, LANES),
+                                  lambda bi, j, *_: (bi, j, 0)))
+        out_shape = (jax.ShapeDtypeStruct((b, v_pad, g * g, c), jnp.int8),
+                     jax.ShapeDtypeStruct((b, v_pad, LANES), jnp.float32))
+    else:
+        out_specs = pl.BlockSpec((1, tile, g * g, c),
+                                 lambda bi, j, *_: (bi, j, 0, 0))
+        out_shape = jax.ShapeDtypeStruct((b, v_pad, g * g, c), flat.dtype)
     out = pl.pallas_call(
-        partial(_resident_pool_kernel, tile=tile, g=g),
+        partial(_resident_pool_kernel, tile=tile, g=g, quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # row0, x0 in SMEM
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
-                pl.BlockSpec((g2p, g), lambda bi, j, *_: (0, 0)),
-                pl.BlockSpec((tile * WINDOW, tile * k),
-                             lambda bi, j, *_: (0, 0)),
-                pl.BlockSpec((tile * WINDOW_X, tile * k),
-                             lambda bi, j, *_: (0, 0)),
-                pl.BlockSpec((1, 1, g, tile * WINDOW),
-                             lambda bi, j, *_: (bi, j, 0, 0)),
-                pl.BlockSpec((1, 1, g, tile * WINDOW_X),
-                             lambda bi, j, *_: (bi, j, 0, 0)),
-                # the whole per-image pyramid, pipelined per grid-b
-                pl.BlockSpec((1, rows, wmax, c),
-                             lambda bi, j, *_: (bi, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, tile, g * g, c),
-                                   lambda bi, j, *_: (bi, j, 0, 0)),
+            in_specs=in_specs,
+            out_specs=out_specs,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, v_pad, g * g, c), flat.dtype),
+        out_shape=out_shape,
         interpret=interpret,
-    )(row0.astype(jnp.int32), x0.astype(jnp.int32),
-      ri, rj, eybd, exbd,
-      _cat_layout(wy.astype(jnp.float32), tile),
-      _cat_layout(wx.astype(jnp.float32), tile), flat)
+    )(*operands)
+    if quant:
+        q, s = out
+        return (q[:, :v].reshape(b, v, g, g, c), s[:, :v, :1])
     return out[:, :v].reshape(b, v, g, g, c)
 
 
@@ -1013,7 +1101,7 @@ def batched_pyramid_pool_resident(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
                                   output_size: int = 7,
                                   samples_per_bin: int = 2, tile: int = 8,
                                   interpret: bool = False,
-                                  trainable: bool = False) -> jnp.ndarray:
+                                  trainable: bool = False, quant_bias=None):
     """Resident-pyramid pooling over a batch (see batched_pyramid_pool).
 
     flat_batch: (B * rows, Wmax, C) stacked pyramids; rois_views (N, 4) with
@@ -1033,7 +1121,12 @@ def batched_pyramid_pool_resident(flat_batch: jnp.ndarray, pyr_meta: Pyramid,
             row0.reshape(batch, v), x0.reshape(batch, v),
             wy.reshape(batch, v, g, WINDOW), wx.reshape(batch, v, g, WINDOW_X))
     if trainable:
+        assert quant_bias is None, "quantized emission is eval-only"
         out = resident_pool_trainable(*args, tile, interpret)
+    elif quant_bias is not None:
+        q, s = pallas_resident_pool(*args, tile=tile, interpret=interpret,
+                                    quant_bias=quant_bias)
+        return q.reshape(n, g, g, c), s.reshape(n, 1)
     else:
         out = pallas_resident_pool(*args, tile=tile, interpret=interpret)
     return out.reshape(n, g, g, c)
@@ -1043,7 +1136,7 @@ def batched_pyramid_pool_multi(flat_batches, pyr_metas, rois_views_per_level,
                                img_idx, *, output_size: int = 7,
                                samples_per_bin: int = 2, tile: int = 8,
                                interpret: bool = False,
-                               trainable: bool = False) -> jnp.ndarray:
+                               trainable: bool = False, quant_bias=None):
     """Level-summed pooling over batched pyramids (see batched_pyramid_pool).
 
     flat_batches: list of L (B * rows_l, Wmax_l, C) stacked pyramids;
@@ -1062,6 +1155,7 @@ def batched_pyramid_pool_multi(flat_batches, pyr_metas, rois_views_per_level,
         wys.append(wy)
         wxs.append(wx)
     if trainable:
+        assert quant_bias is None, "quantized emission is eval-only"
         rows_list = tuple(meta.flat.shape[0] for meta in pyr_metas)
         batch = flat_batches[0].shape[0] // rows_list[0]
         return multi_window_pool_trainable(
@@ -1069,4 +1163,4 @@ def batched_pyramid_pool_multi(flat_batches, pyr_metas, rois_views_per_level,
             rows_list, batch)
     return pallas_window_pool_multi(
         list(flat_batches), row0s, x0s, wys, wxs, tile=tile,
-        interpret=interpret)
+        interpret=interpret, quant_bias=quant_bias)

@@ -151,3 +151,77 @@ def test_quantized_ap_matches_float_after_training(overfit_tiny):
                      batch_size=2).test()
     assert float_ap["AP50"] > 0.5, float_ap
     assert int8_ap["AP50"] > float_ap["AP50"] - 0.1, (float_ap, int8_ap)
+
+
+def test_pool_rois_quantized_matches_head_quantize():
+    """r5 serving fast path: pool_rois_quantized (bias/relu + per-view int8
+    emitted IN the Pallas pool kernels, roi_pallas._quant_view) must bit-match
+    the XLA path (pool_rois -> relu(x + skip_bias) -> quantize_rows), and the
+    int8 head must score both inputs identically."""
+    from multipathnet_tpu.models.multipath import MultiPathNet
+
+    cfg = preset("tiny")
+    qm = dataclasses.replace(cfg.model, head_quant="int8", roi_impl="pallas")
+    qmodel = build_model(qm)
+    fmodel = build_model(dataclasses.replace(qm, head_quant="none"))
+    images = jnp.asarray(RNG.standard_normal((2, 64, 64, 3)), jnp.float32)
+    rois = jnp.asarray(RNG.uniform(4, 30, (2, 6, 4)), jnp.float32)
+    rois = rois.at[..., 2:].add(14.0)
+    params = fmodel.init(jax.random.key(2), images, rois)
+    qparams = quant.quantize_head_params(params)
+
+    feats = qmodel.apply(qparams, images, method=MultiPathNet.features)
+    pooled = qmodel.apply(qparams, feats, rois, (64, 64),
+                          method=MultiPathNet.pool_rois)
+    bias = qparams["params"]["head"]["skip_bias"]
+    pq, ps = qmodel.apply(qparams, feats, rois, (64, 64), bias,
+                          method=MultiPathNet.pool_rois_quantized)
+    assert pq.dtype == jnp.int8 and ps.dtype == jnp.float32
+    b, f, r = pooled.shape[:3]
+    assert ps.shape == (b, f, r, 1)
+
+    dt = jnp.dtype(qm.dtype)
+    x = jax.nn.relu(pooled.astype(dt) + bias.astype(dt))
+    xq, xs = quant.quantize_rows(x.reshape(b, f, r, -1))
+    np.testing.assert_array_equal(np.asarray(pq).reshape(b, f, r, -1),
+                                  np.asarray(xq))
+    np.testing.assert_array_equal(np.asarray(ps), np.asarray(xs))
+
+    s1, d1 = qmodel.apply(qparams, pooled, method=MultiPathNet.predict_rois)
+    s2, d2 = qmodel.apply(qparams, pq, method=MultiPathNet.predict_rois,
+                          pooled_scale=ps)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_detect_batch_uses_quantized_pool_and_matches():
+    """detect_batch routes int8+pallas through the quantized pool emission;
+    its detections must match the int8 pyramid-impl path (same pooling math,
+    different kernel route) to quantization-noise tolerance."""
+    from multipathnet_tpu.eval.detect import Detector
+
+    cfg = preset("tiny")
+    qcfg_pal = cfg.replace(model=dataclasses.replace(
+        cfg.model, head_quant="int8", roi_impl="pallas"))
+    qcfg_pyr = cfg.replace(model=dataclasses.replace(
+        cfg.model, head_quant="int8", roi_impl="pyramid"))
+    fmodel = build_model(dataclasses.replace(qcfg_pal.model,
+                                             head_quant="none"))
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    rois0 = jnp.asarray([[[4, 4, 24, 24]]], jnp.float32)
+    params = fmodel.init(jax.random.key(3), images, rois0)
+
+    b, p, s = 2, 8, 64
+    imgs = RNG.integers(0, 255, (b, s, s, 3)).astype(np.uint8)
+    hws = np.full((b, 2), float(s), np.float32)
+    x1 = RNG.uniform(0, 30, (b, p)).astype(np.float32)
+    y1 = RNG.uniform(0, 30, (b, p)).astype(np.float32)
+    props = np.stack([x1, y1, x1 + 22, y1 + 22], -1)
+    mask = np.ones((b, p), bool)
+
+    det_pal = Detector(build_model(qcfg_pal.model), params, qcfg_pal)
+    det_pyr = Detector(build_model(qcfg_pyr.model), params, qcfg_pyr)
+    o1, o2 = det_pal(imgs, hws, props, mask), det_pyr(imgs, hws, props, mask)
+    assert np.isfinite(o1["scores"]).all()
+    if o1["valid"].any() and o2["valid"].any():
+        assert abs(o1["scores"].max() - o2["scores"].max()) < 3e-2

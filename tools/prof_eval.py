@@ -38,11 +38,18 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--proposals", type=int, default=1000)
     p.add_argument("--canvas", type=int, default=640)
+    p.add_argument("--compile-cache", action="store_true",
+                   help="enable the persistent XLA compilation cache. OFF "
+                        "by default, matching bench.py: cache-deserialized "
+                        "executables measured 448-535s of first-exec relay "
+                        "staging vs 20-65s fresh (PERF.md 'Cold start')")
     args = p.parse_args()
 
-    from multipathnet_tpu.utils.compile_cache import enable_compilation_cache
+    if args.compile_cache:
+        from multipathnet_tpu.utils.compile_cache import (
+            enable_compilation_cache)
 
-    enable_compilation_cache()
+        enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -141,6 +148,47 @@ def main() -> None:
     ms, _ = timed(lambda: full(params), fsc)
     log(f"full detect_batch: {ms:.1f} ms  "
         f"({args.batch / ms * 1e3:.1f} img/s)")
+
+    # fused PREFIX ablation: each row jits resize->...->stage as ONE graph,
+    # so boundary materialization matches the real detect_batch (the
+    # isolated rows above overstate pool/heads — they materialize the
+    # 1.6 GB pooled tensor at a jit boundary the fused graph doesn't have).
+    # Differences between consecutive rows are honest fused stage costs.
+    log("-- fused prefix ablation (deltas are honest stage costs) --")
+
+    def upto_trunk(pa):
+        canv, sc = transforms.batch_resize_to_canvas(
+            images, (s, s), hws, preprocess=cfg.model.preprocess)
+        return model.apply(pa, canv, method=MultiPathNet.features), sc
+
+    ms_t, _ = timed(lambda: jax.jit(upto_trunk)(params), fsc)
+    log(f"fused resize+trunk:        {ms_t:.1f} ms")
+
+    def upto_pool(pa):
+        fts, sc = upto_trunk(pa)
+        r_ = props * sc[:, None, None]
+        return model.apply(pa, fts, r_, (s, s), method=MultiPathNet.pool_rois)
+
+    ms_p, _ = timed(lambda: jax.jit(upto_pool)(params), fsc)
+    log(f"fused ..+pool:             {ms_p:.1f} ms  (pool Δ {ms_p - ms_t:.1f})")
+
+    if cfg.model.head_quant == "int8":
+        from multipathnet_tpu.ops import quant as quant_ops
+
+        def upto_quant(pa):
+            pooled_ = upto_pool(pa)
+            b_, f_, r_, g_, _, c_ = pooled_.shape
+            bias = pa["params"]["head"]["skip_bias"]
+            x = jax.nn.relu(pooled_.astype(jnp.bfloat16)
+                            + bias.astype(jnp.bfloat16))
+            return quant_ops.quantize_rows(
+                x.reshape(b_, f_, r_, g_ * g_ * c_))
+
+        ms_q, _ = timed(lambda: jax.jit(upto_quant)(params), fsc)
+        log(f"fused ..+bias/relu/quant:  {ms_q:.1f} ms  "
+            f"(quant Δ {ms_q - ms_p:.1f})")
+
+    log("(score_batch = fused ..+heads+decode; detect_batch = ..+NMS)")
 
 
 if __name__ == "__main__":
