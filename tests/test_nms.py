@@ -110,3 +110,23 @@ def test_multiclass_nms_high_threshold_kills_all():
         pre_nms_per_class=5, max_detections=4,
     )
     assert not np.any(np.asarray(out["valid"]))
+
+
+def test_nms_sorted_fixpoint_matches_greedy():
+    """nms_sorted (parallel fixpoint, the multiclass_nms fast path) ==
+    sequential greedy `nms` on sorted candidates — including score ties
+    (stable order = argmax-first tie-breaking) and invalid (-1e10) tails."""
+    for trial in range(8):
+        boxes, scores = rand_dets(64, span=40)  # dense -> deep chains
+        if trial % 2:
+            scores = np.round(scores, 1)  # force plenty of exact ties
+        order = np.argsort(-scores, kind="stable")
+        b, s = boxes[order], scores[order]
+        if trial % 3 == 0:
+            s[-10:] = -1e10  # invalid tail, as after thresholding
+        keep = np.asarray(N.nms_sorted(jnp.asarray(b), jnp.asarray(s), 0.5))
+        idx, kmask = N.nms(jnp.asarray(b), jnp.asarray(s), 0.5, max_out=64)
+        greedy = np.zeros(64, bool)
+        greedy[[int(i) for i, k in zip(np.asarray(idx), np.asarray(kmask))
+                if k]] = True
+        np.testing.assert_array_equal(keep, greedy, err_msg=f"trial {trial}")
