@@ -24,9 +24,13 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import faulthandler
+import signal
 import sys
 import tempfile
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 
 def log(msg: str) -> None:
@@ -43,6 +47,14 @@ def main() -> None:
     p.add_argument("--images", type=int, default=16)
     p.add_argument("--eval-batch", type=int, default=8)
     args = p.parse_args()
+
+    # the VGG-16 train-step compile runs ~25 min through the remote
+    # compiler (measured r5); the persistent cache is the difference
+    # between paying it once and paying it per soak. MPNET_COMPILE_CACHE=off
+    # still disables.
+    from multipathnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
 
@@ -87,37 +99,40 @@ def main() -> None:
     r6, r7 = 1024, 256
     mk = lambda **kw: cfg.replace(model=dataclasses.replace(cfg.model, **kw))
     configs = {
-        "float": (mk(), lambda pa: pa),
-        "int8": (mk(head_quant="int8"), quantize_head_params),
-        "svd": (mk(fc6_rank=r6, fc7_rank=r7),
-                lambda pa: factorize_head_params(pa, r6, r7)),
-        "int8+svd": (mk(head_quant="int8", fc6_rank=r6, fc7_rank=r7),
-                     lambda pa: quantize_head_params(
-                         factorize_head_params(pa, r6, r7))),
+        "float": mk(),
+        "int8": mk(head_quant="int8"),
+        "svd": mk(fc6_rank=r6, fc7_rank=r7),
+        "int8+svd": mk(head_quant="int8", fc6_rank=r6, fc7_rank=r7),
     }
     testers = {}
 
     def snapshot_eval(step, params):
-        report: dict = {}
         import warnings
 
+        # ONE host factorization per snapshot (the Halko pass on 4x fc6
+        # 25088x4096 kernels costs minutes on this 1-core host) — its
+        # report carries the rel-err table and its tree feeds both SVD
+        # serving configs
+        report: dict = {}
+        t0 = time.time()
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            factorize_head_params(params, r6, r7, report=report)
-        errs = {k.split("/")[-1]: v for k, v in report.items()}
+            factored = factorize_head_params(params, r6, r7, report=report)
         f6 = [v for k, v in report.items() if "fc6" in k]
         f7 = [v for k, v in report.items() if "fc7" in k]
         log(f"[step {step}] rel trunc err: fc6 "
-            f"{min(f6):.3f}-{max(f6):.3f}  fc7 {min(f7):.3f}-{max(f7):.3f}")
-        del errs
+            f"{min(f6):.3f}-{max(f6):.3f}  fc7 {min(f7):.3f}-{max(f7):.3f} "
+            f"(factorize {time.time()-t0:.0f}s)")
+        trees = {
+            "float": params,
+            "int8": quantize_head_params(params),
+            "svd": factored,
+            "int8+svd": quantize_head_params(factored),
+        }
         row = {}
-        for name, (ccfg, transform) in configs.items():
+        for name, ccfg in configs.items():
             t0 = time.time()
-            import warnings
-
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                pq = transform(params)
+            pq = trees[name]
             if name not in testers:
                 testers[name] = Tester(build_model(ccfg.model), pq, ccfg,
                                        loader, props,
@@ -140,6 +155,9 @@ def main() -> None:
         for batch in pipe.epoch(ep):
             state, m = trainer.step(state, batch)
             step += 1
+            if step == 1:
+                log(f"step 1 done ({time.time()-t0:.0f}s incl. train "
+                    f"compile)")
             if step % 100 == 0:
                 log(f"step {step}: loss {float(m['loss']):.4f} "
                     f"({(time.time()-t0)/step*1e3:.0f} ms/step)")
