@@ -164,18 +164,27 @@ def test_pool_rois_quantized_matches_head_quantize():
     qm = dataclasses.replace(cfg.model, head_quant="int8", roi_impl="pallas")
     qmodel = build_model(qm)
     fmodel = build_model(dataclasses.replace(qm, head_quant="none"))
+    # 2 images x 3 ROIs: 24 views = 3 tile-8 grid steps — still rotates the
+    # double-buffered DMA slots, at half the interpret-mode cost of the
+    # original 6-ROI shape (~30 s of the warm suite, r5 suite-time pass)
     images = jnp.asarray(RNG.standard_normal((2, 64, 64, 3)), jnp.float32)
-    rois = jnp.asarray(RNG.uniform(4, 30, (2, 6, 4)), jnp.float32)
+    rois = jnp.asarray(RNG.uniform(4, 30, (2, 3, 4)), jnp.float32)
     rois = rois.at[..., 2:].add(14.0)
     params = fmodel.init(jax.random.key(2), images, rois)
     qparams = quant.quantize_head_params(params)
 
-    feats = qmodel.apply(qparams, images, method=MultiPathNet.features)
-    pooled = qmodel.apply(qparams, feats, rois, (64, 64),
-                          method=MultiPathNet.pool_rois)
+    # jitted: eager interpret-mode Pallas re-dispatches the whole kernel
+    # per run (~30 s warm before the r5 suite-time pass); compiled, the
+    # interpret lowering lands in the persistent XLA cache
+    feats = jax.jit(lambda p, im: qmodel.apply(
+        p, im, method=MultiPathNet.features))(qparams, images)
+    pooled = jax.jit(lambda p, ft, rr: qmodel.apply(
+        p, ft, rr, (64, 64), method=MultiPathNet.pool_rois))(
+            qparams, feats, rois)
     bias = qparams["params"]["head"]["skip_bias"]
-    pq, ps = qmodel.apply(qparams, feats, rois, (64, 64), bias,
-                          method=MultiPathNet.pool_rois_quantized)
+    pq, ps = jax.jit(lambda p, ft, rr, bi: qmodel.apply(
+        p, ft, rr, (64, 64), bi,
+        method=MultiPathNet.pool_rois_quantized))(qparams, feats, rois, bias)
     assert pq.dtype == jnp.int8 and ps.dtype == jnp.float32
     b, f, r = pooled.shape[:3]
     assert ps.shape == (b, f, r, 1)

@@ -78,7 +78,9 @@ def test_trainable_train_step_runs_with_pallas_impl():
                                      rngs={"dropout": jax.random.key(1)})
         return (scores.sum() + deltas.sum()).astype(jnp.float32)
 
-    g = jax.grad(loss_fn)(params)
+    # jitted: the eager interpret-mode VJP trace cost ~37 s of every warm
+    # suite run; compiled it lands in the persistent XLA cache (r5 pass)
+    g = jax.jit(jax.grad(loss_fn))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     # trunk receives gradient THROUGH the pallas pooling custom VJP

@@ -18,6 +18,23 @@ from multipathnet_tpu.models.sharpmask import (SharpMaskNet, anchor_boxes,
                                                generate_proposals)
 from multipathnet_tpu.train.proposal import ProposalTrainer
 
+# generate_proposals is jittable but was called EAGERLY throughout this file
+# — on the 1-core box the op-by-op dispatch (dense trunk + top-k + mask
+# decode per image) cost ~90 s of the warm suite across the quality tests
+# (r5 suite-time pass). One jitted wrapper per (model, top_k, masks, refine)
+# combination; compiles land in the persistent XLA cache like everything
+# else, so warm runs deserialize instead of re-dispatching.
+_GEN_JIT = {}
+
+
+def jit_gen(model, params, x, *, top_k, with_masks=True, refine=True):
+    key = (id(model), top_k, with_masks, refine)
+    if key not in _GEN_JIT:
+        _GEN_JIT[key] = jax.jit(lambda pa, xx: generate_proposals(
+            model, pa, xx, top_k=top_k, with_masks=with_masks,
+            refine=refine))
+    return _GEN_JIT[key](params, x)
+
 
 def test_anchor_boxes():
     a = np.asarray(anchor_boxes(4, 4, 16, (32.0, 64.0)))
@@ -71,7 +88,7 @@ def test_forward_and_generate_shapes(setup):
     cfg, trainer, pipe, loader = setup
     state = trainer.init_state()
     images = jnp.zeros((2, 64, 64, 3), jnp.float32)
-    out = generate_proposals(trainer.model, state.params, images, top_k=16)
+    out = jit_gen(trainer.model, state.params, images, top_k=16)
     assert out["boxes"].shape == (2, 16, 4)
     assert out["scores"].shape == (2, 16)
     assert out["masks"].shape == (2, 16, 28, 28)
@@ -109,11 +126,14 @@ def test_decode_masks_pyramid_matches_direct(setup):
                        axis=1).astype(np.float32)
     rois = jnp.asarray(np.stack([x1, y1, x1 + w, y1 + w], -1))
 
-    _, _, _, feats = model.apply(state.params, images,
-                                 method=SharpMaskNet.dense)
-    outs = {impl: np.asarray(model.apply(
-        state.params, feats, rois, (s, s), impl=impl,
-        method=SharpMaskNet.decode_masks)) for impl in ("direct", "pyramid")}
+    _, _, _, feats = jax.jit(
+        lambda pa, im: model.apply(pa, im, method=SharpMaskNet.dense))(
+            state.params, images)
+    outs = {impl: np.asarray(jax.jit(
+        lambda pa, ft, rr, _i=impl: model.apply(
+            pa, ft, rr, (s, s), impl=_i,
+            method=SharpMaskNet.decode_masks))(state.params, feats, rois))
+        for impl in ("direct", "pyramid")}
     # level-0 subset: identical pooling math -> tight logit agreement
     d0, p0 = outs["direct"][:, :6], outs["pyramid"][:, :6]
     np.testing.assert_allclose(p0, d0, atol=5e-2, rtol=0)
@@ -234,9 +254,8 @@ def _proposal_quality(trainer, state, loader, refine, top_k=32):
     for i in range(len(loader)):
         x = jnp.asarray(normalize(jnp.asarray(
             loader.load_image(i).astype(np.float32))))[None]
-        out = generate_proposals(trainer.model, state.params, x,
-                                 top_k=top_k, with_masks=False,
-                                 refine=refine)
+        out = jit_gen(trainer.model, state.params, x,
+                        top_k=top_k, with_masks=False, refine=refine)
         ann = loader.annotations(i)
         iou = np.asarray(iou_matrix(jnp.asarray(out["boxes"][0]),
                                     jnp.asarray(ann["boxes"])))
@@ -290,8 +309,8 @@ def test_proposal_training_learns_objectness(setup, trained_proposal_state):
         from multipathnet_tpu.data.transforms import normalize
 
         x = jnp.asarray(normalize(jnp.asarray(img)))[None]
-        out = generate_proposals(trainer.model, state.params, x, top_k=16,
-                                 with_masks=False)
+        out = jit_gen(trainer.model, state.params, x, top_k=16,
+                        with_masks=False)
         ann = loader.annotations(i)
         iou = np.asarray(iou_matrix(jnp.asarray(out["boxes"][0]),
                                     jnp.asarray(ann["boxes"])))
@@ -349,8 +368,8 @@ def det_fixture(setup, trained_proposal_state_60):
     boxes_per, scores_per, ids, rles = [], [], [], []
     for i in range(len(det_loader)):
         x = jnp.asarray(normalize(jnp.asarray(det_loader.load_image(i))))[None]
-        out = generate_proposals(sm_trainer.model, sm_state.params, x,
-                                 top_k=32, with_masks=True)
+        out = jit_gen(sm_trainer.model, sm_state.params, x,
+                        top_k=32, with_masks=True)
         b = np.asarray(out["boxes"][0])
         boxes_per.append(b)
         scores_per.append(np.asarray(out["scores"][0]))
@@ -481,8 +500,8 @@ def test_generated_mask_quality(setup, trained_proposal_state):
     for i in range(len(loader)):
         x = jnp.asarray(normalize(jnp.asarray(
             loader.load_image(i).astype(np.float32))))[None]
-        out = generate_proposals(trainer.model, state.params, x,
-                                 top_k=32, with_masks=True)
+        out = jit_gen(trainer.model, state.params, x,
+                        top_k=32, with_masks=True)
         boxes = np.asarray(out["boxes"][0])
         masks = np.asarray(out["masks"][0])
         ann = loader.annotations(i)
